@@ -1,0 +1,68 @@
+"""Metric configuration (reference: config/metric_config.py:21-251).
+
+Metrics are declared as dotted import paths (e.g. ``sklearn.metrics.f1_score``)
+with kwargs, an optional level (batch/epoch), and named groups. Importability
+is validated at config-load time, exactly like the reference (:57-90).
+"""
+
+from __future__ import annotations
+
+import importlib
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List
+
+from mmtpu.config.base import BaseConfig
+from mmtpu.utils.logging import get_logger
+
+logger = get_logger()
+
+
+def import_dotted(path: str) -> Callable:
+    # Reference configs address its in-repo metrics package as bare
+    # `metrics.*`; alias that prefix to mmtpu's implementations.
+    if path.startswith("metrics."):
+        path = "mmtpu." + path
+    module_path, attr = path.rsplit(".", 1)
+    module = importlib.import_module(module_path)
+    return getattr(module, attr)
+
+
+@dataclass
+class MetricDef:
+    function: str
+    kwargs: Dict[str, Any] = field(default_factory=dict)
+    level: str = "epoch"
+
+    def load(self) -> Callable:
+        return import_dotted(self.function)
+
+
+@dataclass
+class MetricConfig(BaseConfig):
+    metrics: Dict[str, MetricDef] = field(default_factory=dict)
+    groups: Dict[str, List[str]] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        self.metrics = {
+            name: d if isinstance(d, MetricDef) else MetricDef(**d)
+            for name, d in self.metrics.items()
+        }
+        self._validate()
+
+    def _validate(self) -> None:
+        for name, mdef in self.metrics.items():
+            try:
+                mdef.load()
+            except Exception as e:
+                raise ValueError(
+                    f"Metric {name!r}: cannot import {mdef.function!r}: {e}"
+                ) from e
+        for gname, members in self.groups.items():
+            missing = [m for m in members if m not in self.metrics]
+            if missing:
+                raise ValueError(f"Group {gname!r} references unknown metrics {missing}")
+
+    def get_group_metrics(self, group: str) -> Dict[str, MetricDef]:
+        if group not in self.groups:
+            raise KeyError(f"Unknown metric group: {group!r}")
+        return {name: self.metrics[name] for name in self.groups[group]}

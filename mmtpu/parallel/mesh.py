@@ -1,0 +1,91 @@
+"""Device mesh + sharding helpers — the framework's parallelism substrate.
+
+The reference is strictly single-process/single-device (SURVEY.md §2.2); the
+TPU-native design scales by data parallelism over the ICI mesh: batches are
+sharded over the 'data' axis, parameters replicated (optionally sharded over
+a 'model' axis for wide fusion layers), and gradient all-reduce happens
+implicitly inside the jit-compiled train step via XLA collectives.
+
+No NCCL/MPI analogue exists or is needed: XLA's SPMD partitioner inserts the
+ICI collectives from the shardings alone.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+@dataclasses.dataclass
+class MeshConfig:
+    """Shape of the device mesh. data_parallel=-1 → all devices."""
+
+    data_parallel: int = -1
+    model_parallel: int = 1
+
+
+_default_mesh: Optional[Mesh] = None
+
+
+def create_mesh(
+    config: Optional[MeshConfig] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    config = config or MeshConfig()
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    mp = max(1, config.model_parallel)
+    dp = config.data_parallel if config.data_parallel > 0 else n // mp
+    if dp * mp != n:
+        raise ValueError(f"mesh {dp}x{mp} != {n} devices")
+    arr = np.asarray(devices).reshape(dp, mp)
+    return Mesh(arr, axis_names=(DATA_AXIS, MODEL_AXIS))
+
+
+def set_default_mesh(mesh: Mesh) -> None:
+    global _default_mesh
+    _default_mesh = mesh
+
+
+def get_default_mesh() -> Mesh:
+    global _default_mesh
+    if _default_mesh is None:
+        _default_mesh = create_mesh()
+    return _default_mesh
+
+
+def batch_sharding(mesh: Optional[Mesh] = None, ndim: int = 2) -> NamedSharding:
+    """Shard dim 0 (batch) over the data axis, replicate the rest."""
+    mesh = mesh or get_default_mesh()
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def replicate(mesh: Optional[Mesh] = None) -> NamedSharding:
+    mesh = mesh or get_default_mesh()
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Optional[Mesh] = None) -> Dict[str, Any]:
+    """Place a host batch on device, sharded over the data axis.
+
+    Every leaf's leading dim must be divisible by the data-axis size (the
+    loader pads batches to fixed shapes, so this holds by construction).
+    """
+    mesh = mesh or get_default_mesh()
+
+    def _put(x):
+        x = np.asarray(x)
+        return jax.device_put(x, batch_sharding(mesh, ndim=max(1, x.ndim)))
+
+    return jax.tree_util.tree_map(_put, batch)
+
+
+def pad_to_multiple(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
