@@ -1,0 +1,169 @@
+"""Checkpoint save/restore (reference: experiment_utils/checkpoints.py:13-135).
+
+Artifacts mirror the reference layout: `epoch_{N}.ckpt` on every improvement,
+mirrored to `best.ckpt`; monomodal pretraining additionally emits the bare
+`encoder_{modality}_best.ckpt` handoff artifact that multimodal finetuning's
+`pretrained_encoders` consumes (train_monomodal.py:790-802).
+
+Format: Flax msgpack bytes of the state pytree (params + batch_stats +
+host metadata). `load_encoder_checkpoint` also accepts reference PyTorch
+`.pth` files via the torch interop reader, so shipped `wheights/` load
+directly.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+from mmtpu.utils.logging import get_logger
+
+logger = get_logger()
+
+
+def _to_host(tree: Any) -> Any:
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_pytree(path: Path, tree: Dict[str, Any]) -> None:
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_bytes(serialization.to_bytes(_to_host(tree)))
+
+
+def load_pytree(path: Path, target: Optional[Any] = None) -> Any:
+    data = Path(path).read_bytes()
+    if target is not None:
+        return serialization.from_bytes(target, data)
+    return serialization.msgpack_restore(data)
+
+
+class CheckpointManager:
+    def __init__(
+        self,
+        model_dir: str | Path,
+        save_metric: str = "loss",
+        mode: str = "min",
+        device: Optional[str] = None,
+    ) -> None:
+        self.model_dir = Path(model_dir)
+        self.model_dir.mkdir(parents=True, exist_ok=True)
+        self.save_metric = save_metric
+        self.mode = mode
+        self.best_value: Optional[float] = None
+        self.best_epoch: Optional[int] = None
+
+    def is_better(self, value: float) -> bool:
+        if self.best_value is None:
+            return True
+        return value < self.best_value if self.mode == "min" else value > self.best_value
+
+    def save_checkpoint(
+        self,
+        state,
+        epoch: int,
+        metric_value: Optional[float] = None,
+        extra: Optional[Dict[str, Any]] = None,
+    ) -> Path:
+        """Write epoch_{N}.ckpt and mirror to best.ckpt."""
+        tree = {
+            "params": _to_host(state.params),
+            "batch_stats": _to_host(state.batch_stats),
+            "opt_state": _to_host(state.opt_state),
+            "step": int(state.step),
+        }
+        path = self.model_dir / f"epoch_{epoch}.ckpt"
+        save_pytree(path, tree)
+        meta = {
+            "epoch": epoch,
+            "metric": self.save_metric,
+            "value": metric_value,
+            **(extra or {}),
+        }
+        (self.model_dir / f"epoch_{epoch}.json").write_text(json.dumps(meta))
+        best = self.model_dir / "best.ckpt"
+        best.write_bytes(path.read_bytes())
+        (self.model_dir / "best.json").write_text(json.dumps(meta))
+        if metric_value is not None:
+            self.best_value = metric_value
+            self.best_epoch = epoch
+        logger.info(f"checkpoint saved: {path}")
+        return path
+
+    def save_encoder(
+        self, params: Any, modality: str, batch_stats: Optional[Any] = None
+    ) -> Path:
+        """The monomodal→multimodal handoff artifact (params + BN stats,
+        like the reference's full encoder state_dict)."""
+        path = self.model_dir / f"encoder_{modality}_best.ckpt"
+        tree = {"params": _to_host(params)}
+        if batch_stats is not None:
+            tree["batch_stats"] = _to_host(batch_stats)
+        save_pytree(path, tree)
+        return path
+
+    def load_checkpoint(self, state, which: str = "best"):
+        """Restore best / epoch_{N} / last into a TrainState."""
+        if which == "last":
+            candidates = sorted(
+                self.model_dir.glob("epoch_*.ckpt"),
+                key=lambda p: int(p.stem.split("_")[1]),
+            )
+            if not candidates:
+                raise FileNotFoundError(f"No checkpoints in {self.model_dir}")
+            path = candidates[-1]
+        elif which == "best":
+            path = self.model_dir / "best.ckpt"
+        else:
+            path = self.model_dir / f"{which}.ckpt"
+        target = {
+            "params": _to_host(state.params),
+            "batch_stats": _to_host(state.batch_stats),
+            "opt_state": _to_host(state.opt_state),
+            "step": 0,
+        }
+        tree = load_pytree(path, target)
+        return state.replace(
+            params=tree["params"],
+            batch_stats=tree["batch_stats"],
+            opt_state=tree["opt_state"],
+        )
+
+
+def load_encoder_checkpoint(
+    path: str | Path, target_params: Any, target_batch_stats: Optional[Any] = None
+):
+    """Load an encoder pytree from mmtpu .ckpt or reference .pth.
+
+    Tries, in order: the exact path; the path with .ckpt suffix (so configs
+    pointing at reference-era `.pth` names find mmtpu artifacts); a real
+    torch checkpoint via the interop reader.
+    Returns (params, batch_stats_or_None).
+    """
+    path = Path(path)
+    candidates = [path]
+    if path.suffix != ".ckpt":
+        candidates.append(path.with_suffix(".ckpt"))
+    for cand in candidates:
+        if cand.exists() and cand.suffix == ".ckpt":
+            raw = load_pytree(cand)  # plain msgpack dict
+            params = serialization.from_state_dict(
+                _to_host(target_params), raw["params"]
+            )
+            stats = None
+            if target_batch_stats is not None and "batch_stats" in raw:
+                stats = serialization.from_state_dict(
+                    _to_host(target_batch_stats), raw["batch_stats"]
+                )
+            return params, stats
+    if path.exists():  # torch format
+        from mmtpu.checkpoints.torch_interop import load_torch_checkpoint
+
+        if target_batch_stats is not None:
+            return load_torch_checkpoint(path, target_params, target_batch_stats)
+        return load_torch_checkpoint(path, target_params), None
+    raise FileNotFoundError(f"Encoder checkpoint not found: {path}")

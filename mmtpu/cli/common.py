@@ -1,0 +1,211 @@
+"""Shared experiment assembly for the training CLIs.
+
+Reference counterparts: train_multimodal.py `setup_experiment`/`main` (:75,
+:1107), `setup_model_components` (:127 — model build, pretrained-encoder
+loads :156-204, per-encoder optimizer param groups :216-305),
+`setup_dataloaders`, and the CLI flag surface (:1229-1257).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from mmtpu.checkpoints.manager import CheckpointManager, load_encoder_checkpoint
+from mmtpu.config import ModuleSpec, StandardMultimodalConfig
+from mmtpu.config.training import TrainingConfig
+from mmtpu.models.registry import build_module
+from mmtpu.modalities import Modality
+from mmtpu.train.early_stopping import EarlyStopping, mode_for_metric
+from mmtpu.train.optim import LRController, build_optimizer
+from mmtpu.train.recorder import MetricRecorder
+from mmtpu.train.state import TrainState
+from mmtpu.train.step import ClassificationTask
+from mmtpu.utils.logging import configure_logger, get_logger
+from mmtpu.utils.printing import get_console
+
+console = get_console()
+
+
+def standard_arg_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--config", required=True, help="Path to YAML config")
+    p.add_argument("--run_id", type=int, default=1)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--dry-run", "--dry_run", dest="dry_run", action="store_true")
+    p.add_argument("--skip-train", dest="skip_train", action="store_true")
+    p.add_argument("--skip-test", dest="skip_test", action="store_true")
+    p.add_argument(
+        "--disable_monitoring", "--disable-monitoring",
+        dest="disable_monitoring", action="store_true",
+    )
+    p.add_argument("--cpu", action="store_true", help="Force the CPU backend")
+    return p
+
+
+def apply_platform(args) -> None:
+    if getattr(args, "cpu", False):
+        jax.config.update("jax_platforms", "cpu")
+
+
+def load_config(args) -> StandardMultimodalConfig:
+    cfg = StandardMultimodalConfig.load(args.config, run_id=args.run_id)
+    if args.seed is not None:
+        cfg.experiment.seed = args.seed
+        np.random.seed(args.seed)
+    if args.dry_run:
+        cfg.experiment.dry_run = True
+    if args.disable_monitoring:
+        cfg.monitoring.enabled = False
+    cfg.logging.create_directories()
+    configure_logger(cfg.logging.log_path, suffix=f"run_{args.run_id}")
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# model assembly
+# ---------------------------------------------------------------------------
+
+ENCODER_KEYS = ("audio_encoder", "image_encoder", "text_encoder", "video_encoder")
+
+
+def build_model_from_config(model_cfg) -> Any:
+    """ModelConfig → Flax module (specs built lazily inside the registry)."""
+    return build_module(model_cfg.model_type, **model_cfg.kwargs)
+
+
+def init_model(model, sample_inputs: List[np.ndarray], seed: int):
+    rng = jax.random.PRNGKey(seed)
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        *[jax.numpy.asarray(x) for x in sample_inputs],
+        train=False,
+    )
+    return variables["params"], variables.get("batch_stats", {})
+
+
+def load_pretrained_encoders(
+    params, batch_stats, pretrained: Dict[str, str], logging_cfg, run_id: int
+) -> Tuple[Any, Any, List[str]]:
+    """Fill `{modality}_encoder` subtrees from checkpoint files
+    (reference train_multimodal.py:156-204)."""
+    from mmtpu.utils.utils import format_path_with_env
+
+    params = dict(params)
+    batch_stats = dict(batch_stats) if batch_stats else {}
+    loaded = []
+    for modality, path in (pretrained or {}).items():
+        attr = f"{modality}_encoder"
+        if attr not in params:
+            get_logger().warning(f"model has no submodule {attr!r}; skipping")
+            continue
+        resolved = logging_cfg.format_path(format_path_with_env(str(path)))
+        enc_params, enc_stats = load_encoder_checkpoint(
+            resolved, params[attr], batch_stats.get(attr)
+        )
+        params[attr] = enc_params
+        if enc_stats is not None and attr in batch_stats:
+            batch_stats[attr] = enc_stats
+        loaded.append(modality)
+        console.success(f"loaded pretrained {modality} encoder from {resolved}")
+    return params, batch_stats, loaded
+
+
+def encoder_param_groups(
+    training: TrainingConfig, params
+) -> List[Tuple[str, Dict[str, Any]]]:
+    """encoder_optimizer + modality_specific_params → (regex, kwargs) groups
+    (reference train_multimodal.py:216-305)."""
+    groups: List[Tuple[str, Dict[str, Any]]] = []
+    enc_kwargs = (
+        dict(training.encoder_optimizer.default_kwargs)
+        if training.encoder_optimizer
+        else None
+    )
+    specific = training.modality_specific_params or {}
+    for attr in params:
+        if not str(attr).endswith("_encoder"):
+            continue
+        kwargs = dict(enc_kwargs) if enc_kwargs else None
+        if attr in specific:
+            kwargs = {**(kwargs or {}), **specific[attr]}
+        if kwargs:
+            groups.append((f"^{attr}/", kwargs))
+    return groups
+
+
+def make_state(model, params, batch_stats, training: TrainingConfig):
+    extra = encoder_param_groups(training, params)
+    tx, report = build_optimizer(training.optimizer, params, extra_groups=extra)
+    for name, kw in report.items():
+        get_logger().info(f"optimizer group {name}: {kw}")
+    return TrainState.create(
+        apply_fn=model.apply, params=params, batch_stats=batch_stats, tx=tx
+    )
+
+
+def make_lr_controller(training: TrainingConfig) -> Optional[LRController]:
+    if not training.scheduler:
+        return None
+    base_lr = float(training.optimizer.default_kwargs.get("lr", 1e-3))
+    return LRController(training.scheduler, training.scheduler_args, base_lr)
+
+
+def make_early_stopping(cfg) -> EarlyStopping:
+    return EarlyStopping(
+        patience=cfg.training.early_stopping_patience,
+        min_delta=cfg.training.early_stopping_min_delta,
+        mode=mode_for_metric(cfg.logging.save_metric),
+        enabled=cfg.training.early_stopping,
+    )
+
+
+def make_recorder(cfg) -> MetricRecorder:
+    return MetricRecorder(
+        cfg.metrics,
+        tensorboard_path=cfg.logging.tensorboard_path,
+        tb_record_only=cfg.logging.tb_record_only,
+    )
+
+
+def make_checkpoint_manager(cfg) -> CheckpointManager:
+    return CheckpointManager(
+        cfg.logging.model_output_path,
+        save_metric=cfg.logging.save_metric,
+        mode=mode_for_metric(cfg.logging.save_metric),
+    )
+
+
+def infer_monomodal_modality(cfg) -> Modality:
+    """Which modality a monomodal run trains on: encoder attr in the model
+    kwargs, else the experiment-name heuristic (train_monomodal.py:103-128,
+    441-482)."""
+    for key in ENCODER_KEYS:
+        if key in cfg.model.kwargs:
+            return Modality(key.split("_")[0])
+    name = cfg.experiment.name.lower()
+    for mod in ("audio", "image", "text", "video"):
+        if mod in name:
+            return Modality(mod)
+    raise ValueError("cannot infer monomodal modality from config")
+
+
+def infer_num_classes(cfg) -> int:
+    """num_classes heuristic (train_monomodal.py:506-522)."""
+    n = cfg.model.kwargs.get("num_classes")
+    if n:
+        return int(n)
+    name = (cfg.experiment.name + " " + cfg.model.name).lower()
+    if "mmimdb" in name or "imdb" in name:
+        return 23
+    if "mosi" in name or "mosei" in name:
+        return 3
+    return 10  # avmnist default
+
+
+def sample_inputs_for(dataset, input_mods: List[Modality]) -> List[np.ndarray]:
+    return [dataset.arrays[m][:2] for m in input_mods]

@@ -1,0 +1,120 @@
+"""Monomodal encoder pretraining (reference: train_monomodal.py:887-906).
+
+Wraps the single configured encoder in a linear-head classifier, trains it,
+and on every best epoch emits the bare `encoder_{modality}_best.ckpt`
+handoff artifact that multimodal finetuning's `pretrained_encoders` consumes
+(reference :790-802).
+
+    python -m mmtpu.cli.train_monomodal --config X.yaml --run_id N [--seed S]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from mmtpu.cli import common
+from mmtpu.models.registry import build_module
+from mmtpu.train.loop import TrainLoop
+from mmtpu.train.step import ClassificationTask
+from mmtpu.utils.printing import get_console
+
+console = get_console()
+
+
+def main(argv=None) -> int:
+    args = common.standard_arg_parser(__doc__).parse_args(argv)
+    common.apply_platform(args)
+    cfg = common.load_config(args)
+
+    modality = common.infer_monomodal_modality(cfg)
+    encoder_key = f"{modality}_encoder"
+    encoder_spec = cfg.model.kwargs[encoder_key]
+    num_classes = common.infer_num_classes(cfg)
+    output_dim = int(
+        cfg.model.kwargs.get(
+            "output_dim", encoder_spec.kwargs.get("hidden_dim", 128)
+            if hasattr(encoder_spec, "kwargs") else 128,
+        )
+    )
+
+    model = build_module(
+        "monomodal_encoder",
+        encoder=encoder_spec,
+        output_dim=output_dim,
+        num_classes=num_classes,
+    )
+
+    loaders = cfg.data.build_all_loaders(
+        is_train=not args.skip_train, is_test=not args.skip_test,
+        seed=cfg.experiment.seed,
+    )
+    any_split = next(iter(loaders.values()))
+    params, batch_stats = common.init_model(
+        model,
+        common.sample_inputs_for(any_split.dataset, [modality]),
+        cfg.experiment.seed,
+    )
+    state = common.make_state(model, params, batch_stats, cfg.training)
+
+    # Monomodal pretraining consumes the UNMASKED modality (the reference
+    # prefers batch[f"{mod}_original"], train_monomodal.py:131-134) — the
+    # loader's mask still rides along but the task ignores it by reading the
+    # raw key only.
+    task = MonomodalTask(
+        model=model,
+        loss_group=cfg.training.loss_functions,
+        input_keys=[str(modality)],
+    )
+
+    ckpt = common.make_checkpoint_manager(cfg)
+
+    def on_best(state, epoch):
+        ckpt.save_encoder(
+            state.params["encoder"],
+            str(modality),
+            state.batch_stats.get("encoder") if state.batch_stats else None,
+        )
+
+    group = next(iter(cfg.metrics.groups), "classification")
+    loop = TrainLoop(
+        task=task,
+        state=state,
+        loaders=loaders,
+        recorder=common.make_recorder(cfg),
+        checkpoint_manager=ckpt,
+        epochs=cfg.training.epochs,
+        save_metric=cfg.logging.save_metric,
+        early_stopping=common.make_early_stopping(cfg),
+        lr_controller=common.make_lr_controller(cfg.training),
+        metrics_path=Path(cfg.logging.metrics_path),
+        group_name=group,
+        on_best=on_best,
+        print_interval=cfg.experiment.train_print_interval_epochs,
+    )
+
+    if args.dry_run or cfg.experiment.dry_run:
+        console.success("dry run complete")
+        return 0
+    if not args.skip_train:
+        loop.run()
+    if not args.skip_test:
+        loop.test(splits=[s for s in loaders if s not in ("train", "validation")])
+    final = Path(cfg.logging.model_output_path) / f"encoder_{modality}_best.ckpt"
+    console.success(f"encoder artifact: {final}")
+    print(str(final))
+    return 0
+
+
+class MonomodalTask(ClassificationTask):
+    """Reads the raw (unmasked) modality."""
+
+    def apply(self, variables, batch, *, train: bool, rngs=None, mutable=False):
+        inputs = [batch[k] for k in self.input_keys]
+        return self.model.apply(
+            variables, *inputs, train=train, rngs=rngs, mutable=mutable
+        )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

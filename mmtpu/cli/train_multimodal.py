@@ -1,0 +1,144 @@
+"""Multimodal training entry point (reference: train_multimodal.py:1107-1257).
+
+    python -m mmtpu.cli.train_multimodal --config X.yaml --run_id N \
+        [--dry-run --skip-train --skip-test --disable_monitoring --cpu]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from mmtpu.cli import common
+from mmtpu.modalities import Modality
+from mmtpu.train.loop import TrainLoop, _jsonable
+from mmtpu.train.step import ClassificationTask
+from mmtpu.utils.printing import get_console
+from mmtpu.utils.utils import clean_checkpoints
+
+console = get_console()
+
+
+def modalities_for_model(model_type: str):
+    mt = model_type.lower()
+    if mt in ("avmnist", "kineticssounds"):
+        return [Modality.AUDIO, Modality.IMAGE] if mt == "avmnist" else [
+            Modality.AUDIO, Modality.VIDEO,
+        ]
+    if mt == "mmimdb":
+        return [Modality.IMAGE, Modality.TEXT]
+    if mt in ("utt-fusion", "utt_fusion", "self-mm", "mmin", "redcore"):
+        return [Modality.AUDIO, Modality.VIDEO, Modality.TEXT]
+    raise ValueError(f"Unknown model type: {model_type}")
+
+
+def main(argv=None) -> int:
+    args = common.standard_arg_parser(__doc__).parse_args(argv)
+    common.apply_platform(args)
+    cfg = common.load_config(args)
+
+    clean_checkpoints(cfg.logging.model_output_path)
+    loaders = cfg.data.build_all_loaders(
+        is_train=cfg.experiment.is_train and not args.skip_train,
+        is_test=cfg.experiment.is_test and not args.skip_test,
+        seed=cfg.experiment.seed,
+    )
+    mods = modalities_for_model(cfg.model.model_type)
+    model = common.build_model_from_config(cfg.model)
+
+    any_split = next(iter(loaders.values()))
+    params, batch_stats = common.init_model(
+        model,
+        common.sample_inputs_for(any_split.dataset, mods),
+        cfg.experiment.seed,
+    )
+    params, batch_stats, loaded = common.load_pretrained_encoders(
+        params, batch_stats, cfg.model.pretrained_encoders, cfg.logging, args.run_id
+    )
+    state = common.make_state(model, params, batch_stats, cfg.training)
+
+    multilabel = cfg.model.model_type.lower() == "mmimdb"
+    task = ClassificationTask(
+        model=model,
+        loss_group=cfg.training.loss_functions,
+        input_keys=[str(m) for m in mods],
+        multilabel=multilabel,
+    )
+
+    group = next(iter(cfg.metrics.groups), "classification")
+    loop = TrainLoop(
+        task=task,
+        state=state,
+        loaders=loaders,
+        recorder=common.make_recorder(cfg),
+        checkpoint_manager=common.make_checkpoint_manager(cfg),
+        epochs=cfg.training.epochs,
+        save_metric=cfg.logging.save_metric,
+        early_stopping=common.make_early_stopping(cfg),
+        lr_controller=common.make_lr_controller(cfg.training),
+        metrics_path=Path(cfg.logging.metrics_path),
+        group_name=group,
+        print_interval=cfg.experiment.train_print_interval_epochs,
+    )
+
+    if args.dry_run or cfg.experiment.dry_run:
+        console.success("dry run complete — config, data, model, state all built")
+        return 0
+
+    if not args.skip_train and cfg.experiment.is_train:
+        best = loop.run()
+        console.success(f"training done; best: { {k: v for k, v in list(best.items())[:4]} }")
+
+    if not args.skip_test and cfg.experiment.is_test:
+        results = loop.test(splits=[s for s in loaders if s not in ("train", "validation")])
+        for split, metrics in results.items():
+            console.display_metrics_table(
+                f"{split} metrics",
+                {k: v for k, v in metrics.items() if isinstance(v, (int, float))},
+            )
+
+    # embeddings export for configured 'embeddings' split (reference :1176-1215)
+    if "embeddings" in loaders and hasattr(model, "encode"):
+        _export_embeddings(cfg, model, loop.state, loaders["embeddings"], mods)
+    return 0
+
+
+def _export_embeddings(cfg, model, state, loader, mods) -> None:
+    import jax
+
+    out_dir = Path(cfg.logging.metrics_path) / "embeddings"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    full = loader.dataset.get_full_modality()
+    vocab = loader.pattern_vocab
+    chunks = {str(m): [] for m in mods}
+    labels = []
+
+    @jax.jit
+    def encode(variables, *inputs):
+        return model.apply(variables, *inputs, train=False, method=model.encode)
+
+    for batch in loader:
+        keep = np.asarray(batch["sample_mask"]).astype(bool)
+        pat_ok = np.asarray(
+            [vocab[i] == full for i in np.asarray(batch["pattern_id"])]
+        )
+        keep &= pat_ok
+        if not keep.any():
+            continue
+        outs = encode(state.variables, *[batch[str(m)] for m in mods])
+        for m, o in zip(mods, outs):
+            chunks[str(m)].append(np.asarray(o)[keep])
+        labels.append(np.asarray(batch["labels"])[keep])
+    for m in mods:
+        if chunks[str(m)]:
+            np.save(out_dir / f"{m}_embeddings.npy", np.concatenate(chunks[str(m)]))
+    if labels:
+        np.save(out_dir / "labels.npy", np.concatenate(labels))
+    console.success(f"embeddings exported to {out_dir}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,185 @@
+"""Fixed-shape batch loader with background prefetch.
+
+The TPU-side contract (SURVEY.md §7): every batch has identical shapes so
+the jitted step compiles exactly once per split. Partial tail batches are
+zero-padded and carry `sample_mask`; per-modality keep-masks ride along as
+(B,) vectors multiplied on device.
+
+Batch schema:
+    {mod}:        raw modality array (B, ...)
+    {mod}_mask:   keep-mask (B,) float32
+    labels:       (B,) or (B, C)
+    pattern_id:   (B,) int32 into dataset.pattern_vocab()
+    sample_mask:  (B,) float32 — 0 for padded rows
+Optional per-modality lengths arrays ({mod}_lengths) for sequence models.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from mmtpu.data.base import MultimodalArrayDataset
+from mmtpu.modalities import Modality
+
+
+class BatchLoader:
+    def __init__(
+        self,
+        dataset: MultimodalArrayDataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 0,
+        prefetch: int = 2,
+    ) -> None:
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    # -- sizing -------------------------------------------------------------
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    @property
+    def pattern_vocab(self) -> List[str]:
+        return self.dataset.pattern_vocab()
+
+    # -- iteration ------------------------------------------------------------
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        it = self._epoch_batches()
+        if self.prefetch <= 0:
+            yield from it
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error: List[BaseException] = []
+
+        def worker():
+            try:
+                for b in it:
+                    q.put(b)
+            except BaseException as e:  # noqa: BLE001
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        if error:
+            raise error[0]
+        self.epoch += 1
+
+    def _epoch_batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        ds = self.dataset
+        mods = list(ds.AVAILABLE_MODALITIES.values())
+        vocab = ds.pattern_vocab()
+
+        if ds.split == "train":
+            order = np.arange(ds.num_samples)
+            if self.shuffle:
+                rng = np.random.default_rng((self.seed, self.epoch, 0x5EED))
+                rng.shuffle(order)
+            pattern_idx = ds.train_schedule(self.epoch)
+            sample_idx = order
+            pattern_of = pattern_idx[order]
+        else:
+            # pattern-major deterministic blocks: (pattern, sample) product
+            n = ds.num_samples
+            sample_idx = np.tile(np.arange(n), len(vocab))
+            pattern_of = np.repeat(np.arange(len(vocab)), n)
+
+        total = sample_idx.shape[0]
+        bs = self.batch_size
+        n_batches = total // bs if self.drop_last else -(-total // bs)
+
+        for b in range(n_batches):
+            sl = slice(b * bs, (b + 1) * bs)
+            idx = sample_idx[sl]
+            pids = pattern_of[sl]
+            real = idx.shape[0]
+            batch: Dict[str, np.ndarray] = {}
+            for mod in mods:
+                if ds.target_modality not in (Modality.MULTIMODAL, mod):
+                    continue
+                arr = ds.arrays[mod][idx]
+                batch[str(mod)] = arr
+                batch[f"{mod}_mask"] = ds.mask_stack(mod)[pids, idx].astype(
+                    np.float32
+                )
+                lengths = getattr(ds, "lengths", {}).get(mod)
+                if lengths is not None:
+                    batch[f"{mod}_lengths"] = lengths[idx]
+            batch["labels"] = ds.labels[idx]
+            batch["pattern_id"] = pids.astype(np.int32)
+            batch["sample_mask"] = np.ones((real,), np.float32)
+
+            if real < bs:  # zero-pad tail to the fixed shape
+                pad = bs - real
+                for k, v in batch.items():
+                    batch[k] = np.concatenate(
+                        [v, np.zeros((pad,) + v.shape[1:], v.dtype)], axis=0
+                    )
+                batch["sample_mask"][real:] = 0.0
+            yield batch
+
+
+def build_loader(
+    dataset: MultimodalArrayDataset,
+    batch_size: int,
+    shuffle: bool = False,
+    drop_last: bool = False,
+    seed: int = 0,
+) -> BatchLoader:
+    return BatchLoader(
+        dataset, batch_size=batch_size, shuffle=shuffle, drop_last=drop_last, seed=seed
+    )
+
+
+class DevicePrefetcher:
+    """Wrap a BatchLoader: device_put (sharded) one batch ahead."""
+
+    def __init__(self, loader: BatchLoader, mesh=None):
+        self.loader = loader
+        self.mesh = mesh
+
+    def __len__(self) -> int:
+        return len(self.loader)
+
+    @property
+    def pattern_vocab(self):
+        return self.loader.pattern_vocab
+
+    def __iter__(self):
+        from mmtpu.parallel.mesh import shard_batch
+        import jax
+
+        prev: Optional[Any] = None
+        for host_batch in self.loader:
+            nxt = (
+                shard_batch(host_batch, self.mesh)
+                if self.mesh is not None
+                else jax.device_put(host_batch)
+            )
+            if prev is not None:
+                yield prev
+            prev = nxt
+        if prev is not None:
+            yield prev

@@ -1,0 +1,129 @@
+"""LSTM sequence encoder (reference: models/msa/networks/lstm.py:8-123).
+
+TPU-native realization of cuDNN LSTM: a `flax.linen.RNN` over an
+OptimizedLSTMCell — the cell's four gate matmuls are fused into two GEMMs
+that ride the MXU, and the time loop is an XLA `scan` (static length, no
+recompilation per batch). Variable-length sequences use `seq_lengths`
+masking, reproducing packed-sequence semantics (enforce_sorted=False).
+
+Pooling methods: 'last' (true last state under masking), 'attention'
+(Hierarchical-Attention-Networks style: softmax(u·tanh(W·h))·h), 'maxpool'.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class LSTMEncoder(nn.Module):
+    input_size: int
+    hidden_size: int
+    embd_method: str = "last"
+
+    def get_embedding_size(self) -> int:
+        return self.hidden_size
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        lengths: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        assert self.embd_method in ("last", "attention", "maxpool")
+        rnn = nn.RNN(
+            nn.OptimizedLSTMCell(self.hidden_size), return_carry=True, name="rnn"
+        )
+        if lengths is not None:
+            (carry_c, carry_h), outputs = rnn(x, seq_lengths=lengths)
+        else:
+            (carry_c, carry_h), outputs = rnn(x)
+
+        if self.embd_method == "last":
+            return carry_h
+
+        if lengths is not None:
+            # mask padded steps out of attention/maxpool reductions
+            steps = jnp.arange(x.shape[1])[None, :]
+            valid = steps < lengths[:, None]
+        else:
+            valid = None
+
+        if self.embd_method == "maxpool":
+            if valid is not None:
+                outputs = jnp.where(valid[..., None], outputs, -jnp.inf)
+            return jnp.max(outputs, axis=1)
+
+        # attention: softmax over seq of (tanh(W h + b) @ u)
+        hidden = nn.tanh(nn.Dense(self.hidden_size, name="attention_layer")(outputs))
+        u = self.param(
+            "attention_vector_weight",
+            nn.initializers.lecun_normal(),
+            (self.hidden_size, 1),
+        )
+        scores = (hidden @ u)[..., 0]  # (B, seq)
+        if valid is not None:
+            scores = jnp.where(valid, scores, -jnp.inf)
+        weights = nn.softmax(scores, axis=-1)[..., None]
+        return jnp.sum(outputs * weights, axis=1)
+
+
+class LSTMClassifier(nn.Module):
+    """Two stacked bidirectional LSTMs + LayerNorm + BN head
+    (reference: classifier.py:8-56). Returns (logits, features)."""
+
+    input_size: int
+    hidden_size: int
+    fc1_size: int
+    output_size: int
+    dropout_rate: float = 0.3
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ):
+        lengths = None
+        if mask is not None:
+            # mask (B, seq, feat) → lengths (B,) (reference mask2length :42-46)
+            lengths = jnp.sum(jnp.mean(mask, axis=-1).astype(jnp.int32), axis=-1)
+
+        def bi_lstm(name, inp):
+            fwd = nn.RNN(
+                nn.OptimizedLSTMCell(self.hidden_size),
+                return_carry=True,
+                name=f"{name}_fwd",
+            )
+            bwd = nn.RNN(
+                nn.OptimizedLSTMCell(self.hidden_size),
+                return_carry=True,
+                reverse=True,
+                keep_order=True,
+                name=f"{name}_bwd",
+            )
+            (c_f, h_f), out_f = (
+                fwd(inp, seq_lengths=lengths) if lengths is not None else fwd(inp)
+            )
+            (c_b, h_b), out_b = (
+                bwd(inp, seq_lengths=lengths) if lengths is not None else bwd(inp)
+            )
+            return jnp.concatenate([h_f, h_b], -1), jnp.concatenate([out_f, out_b], -1)
+
+        h1, out1 = bi_lstm("rnn1", x)
+        out1 = nn.LayerNorm(name="layer_norm")(out1)
+        h2, _ = bi_lstm("rnn2", out1)
+
+        h = jnp.concatenate([h1, h2], axis=-1)  # (B, 4*hidden)
+        h = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+        )(h)
+        h = nn.Dense(self.fc1_size, name="fc1")(h)
+        h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
+        h = nn.relu(h)
+        o = nn.Dense(self.output_size, name="fc2")(h)
+        return o, h

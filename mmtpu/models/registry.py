@@ -1,0 +1,143 @@
+"""Module registry: ModuleSpec names → Flax module factories.
+
+Covers the reference's three string registries (config/resolvers.py:18-122):
+model names (`resolve_model_name`), encoder names (`resolve_encoder`), and
+every YAML model tag (config/yaml_constructors.py). Entries added lazily as
+model families land; unknown names raise with the available list.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+from mmtpu.config.spec import ModuleSpec
+
+
+def _build_nested(kwargs: Dict[str, Any]) -> Dict[str, Any]:
+    """Build nested ModuleSpecs (e.g. encoders inside fusion models),
+    leaving `conv_block_args` specs intact (consumed as data)."""
+    out = {}
+    for k, v in kwargs.items():
+        if isinstance(v, ModuleSpec) and v.name != "conv_block_args":
+            out[k] = v.build()
+        elif isinstance(v, dict):
+            out[k] = _build_nested(v)
+        else:
+            out[k] = v
+    return out
+
+
+def _conv_block_args(**kwargs):
+    from mmtpu.models.conv import ConvBlockArgs
+
+    return ConvBlockArgs(**kwargs)
+
+
+def _factories() -> Dict[str, Callable[..., Any]]:
+    from mmtpu.models import avmnist, conv, fc, fusion, lenet, lstm, resnet, textcnn
+
+    reg: Dict[str, Callable[..., Any]] = {
+        # encoders
+        "resnet18": resnet.ResNet18,
+        "resnet34": resnet.ResNet34,
+        "resnet50": resnet.ResNet50,
+        "resnetencoder": resnet.ResNetEncoder,
+        "lenet5": lenet.LeNet5,
+        "lenet5enhanced": lenet.LeNet5Enhanced,
+        "lenetencoder": lenet.LeNetEncoder,
+        "fcencoder": fc.FcEncoder,
+        "fcclassifier": fc.FcClassifier,
+        "lstmencoder": lstm.LSTMEncoder,
+        "textcnn": textcnn.TextCNN,
+        # blocks / args
+        "conv_block": conv.ConvBlock,
+        "conv_block_args": _conv_block_args,
+        # fusion primitives
+        "maxout": fusion.MaxOut,
+        "gated_bimodal": fusion.GatedBiModalNetwork,
+        "multimodal_pooling": fusion.MultimodalPooling,
+        # AVMNIST family
+        "mnist_audio": avmnist.MNISTAudio,
+        "mnist_image": avmnist.MNISTImage,
+        "avmnist": avmnist.AVMNIST,
+        "monomodal_encoder": avmnist.MonomodalEncoder,
+    }
+    # Families landing in later milestones import lazily so a missing
+    # module gives a clear error only when actually requested.
+    lazy = {
+        "utt_fusion": ("mmtpu.models.utt_fusion", "UttFusionModel"),
+        "utt-fusion": ("mmtpu.models.utt_fusion", "UttFusionModel"),
+        "mmimdb": ("mmtpu.models.mmimdb", "MMIMDb"),
+        "mmimdbmodalityencoder": ("mmtpu.models.mmimdb", "MMIMDbModalityEncoder"),
+        "mmimdb_modality_encoder": ("mmtpu.models.mmimdb", "MMIMDbModalityEncoder"),
+        "mlp_genre": ("mmtpu.models.mmimdb", "MLPGenreClassifier"),
+        "mlp_genre_classifier": ("mmtpu.models.mmimdb", "MLPGenreClassifier"),
+        "cmam": ("mmtpu.models.cmam", "CMAM"),
+        "association_network": ("mmtpu.models.cmam", "AssociationNetwork"),
+        "input_encoders": ("mmtpu.models.cmam", "InputEncoders"),
+        "kineticssounds": ("mmtpu.models.kinetics_sounds", "KineticsSounds"),
+        "kinetics_sounds_audio_encoder": (
+            "mmtpu.models.kinetics_sounds",
+            "KineticsSoundsAudioEncoder",
+        ),
+        "kinetics_sounds_video_encoder": (
+            "mmtpu.models.kinetics_sounds",
+            "KineticsSoundsVideoEncoder",
+        ),
+        "transformer": ("mmtpu.models.transformer", "Transformer"),
+        "residual_ae": ("mmtpu.models.autoencoder", "ResidualAE"),
+        "residual_xe": ("mmtpu.models.autoencoder", "ResidualXE"),
+        "self_mm": ("mmtpu.models.self_mm", "Self_MM"),
+        "self-mm": ("mmtpu.models.self_mm", "Self_MM"),
+        "auvi_subnet": ("mmtpu.models.self_mm", "AuViSubNet"),
+        "bert_text_encoder": ("mmtpu.models.bert_text", "BertTextEncoder"),
+        "mmin": ("mmtpu.models.mmin", "MMIN"),
+        "redcore": ("mmtpu.models.redcore", "RedCore"),
+        "feature_manager": ("mmtpu.train.managers", "FeatureManager"),
+        "center_manager": ("mmtpu.train.managers", "CenterManager"),
+        "label_manager": ("mmtpu.train.managers", "LabelManager"),
+    }
+
+    import importlib
+
+    def make_lazy(modpath: str, attr: str):
+        def factory(**kwargs):
+            module = importlib.import_module(modpath)
+            return getattr(module, attr)(**kwargs)
+
+        return factory
+
+    for name, (modpath, attr) in lazy.items():
+        reg.setdefault(name, make_lazy(modpath, attr))
+    return reg
+
+
+_REGISTRY: Dict[str, Callable[..., Any]] | None = None
+
+
+def _registry() -> Dict[str, Callable[..., Any]]:
+    global _REGISTRY
+    if _REGISTRY is None:
+        _REGISTRY = _factories()
+    return _REGISTRY
+
+
+def build_module(name: str, **kwargs: Any) -> Any:
+    reg = _registry()
+    key = name.lower()
+    if key not in reg:
+        raise ValueError(f"Unknown module {name!r}. Available: {sorted(reg)}")
+    return reg[key](**_build_nested(kwargs))
+
+
+def resolve_model_name(name: str) -> Callable[..., Any]:
+    """String → model factory (reference resolve_model_name :18-77)."""
+    reg = _registry()
+    key = name.lower()
+    if key not in reg:
+        raise ValueError(f"Unknown model type: {name}")
+    return lambda **kw: build_module(key, **kw)
+
+
+def resolve_encoder(name: str) -> Callable[..., Any]:
+    return resolve_model_name(name)

@@ -1,0 +1,269 @@
+"""Generic epoch driver (reference: train_multimodal.py:438-860).
+
+Train/validate epochs over jitted steps, per-pattern metric recording,
+incremental `epoch_metrics.json` (same list-of-epochs schema with
+f1_*/MSA_* keys nested under their pattern, :640-729), early stopping,
+best-checkpointing, host-side LR scheduling, and test-time best restore.
+
+Throughput notes: batches are prefetched to device one step ahead; the loss
+scalar and prediction arrays returned by the step stay on device and are
+bulk-transferred once per epoch (reference syncs twice per step).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from mmtpu.checkpoints.manager import CheckpointManager
+from mmtpu.train.early_stopping import EarlyStopping, mode_for_metric
+from mmtpu.train.optim import LRController, set_lr_scale
+from mmtpu.train.recorder import MetricRecorder
+from mmtpu.train.step import make_eval_step, make_train_step
+from mmtpu.utils.logging import get_logger
+from mmtpu.utils.printing import get_console
+from mmtpu.utils.utils import flatten_dict
+
+logger = get_logger()
+console = get_console()
+
+
+def _nest_epoch_metrics(flat: Dict[str, Any]) -> Dict[str, Any]:
+    """Reference JSON nesting (:640-729): f1_*/MSA_* under pattern keys."""
+    out: Dict[str, Any] = {}
+    for key, value in flat.items():
+        if key == "loss" or not isinstance(value, (int, float)):
+            continue
+        parts = key.split("_")
+        if key.startswith("MSA_") and len(parts) >= 4:
+            metric, pattern = "_".join(parts[:3]), parts[3]
+            out.setdefault(pattern, {})[metric] = value
+        elif key.startswith("f1_") and len(parts) >= 3:
+            metric, pattern = "_".join(parts[:2]), parts[2]
+            out.setdefault(pattern, {})[metric] = value
+        else:
+            out.setdefault("metrics", {})[key] = value
+    return out
+
+
+class TrainLoop:
+    def __init__(
+        self,
+        *,
+        task,
+        state,
+        loaders: Dict[str, Any],
+        recorder: MetricRecorder,
+        checkpoint_manager: CheckpointManager,
+        epochs: int,
+        save_metric: str = "loss",
+        early_stopping: Optional[EarlyStopping] = None,
+        lr_controller: Optional[LRController] = None,
+        metrics_path: Optional[Path] = None,
+        group_name: str = "classification",
+        mesh=None,
+        on_best: Optional[Callable[[Any, int], None]] = None,
+        print_interval: int = 1,
+    ) -> None:
+        self.task = task
+        self.state = state
+        self.loaders = loaders
+        self.recorder = recorder
+        self.ckpt = checkpoint_manager
+        self.epochs = epochs
+        self.save_metric = save_metric
+        self.early = early_stopping or EarlyStopping(enabled=False)
+        self.lr = lr_controller
+        self.metrics_path = Path(metrics_path) if metrics_path else None
+        self.group_name = group_name
+        self.mesh = mesh
+        self.on_best = on_best
+        self.print_interval = print_interval
+
+        self.train_step = make_train_step(task, mesh=mesh)
+        self.eval_step = make_eval_step(task, mesh=mesh)
+        self.epoch_metrics: List[Dict[str, Any]] = []
+        self.timing_history: Dict[str, List[float]] = {"train": [], "validation": []}
+        self.metrics_history: Dict[str, List[Dict[str, Any]]] = {
+            "train": [],
+            "validation": [],
+        }
+        self._rng = jax.random.PRNGKey(0)
+
+    # -- epochs ---------------------------------------------------------------
+
+    def _device_batches(self, loader):
+        from mmtpu.data.loader import DevicePrefetcher
+
+        return DevicePrefetcher(loader, mesh=self.mesh)
+
+    def train_epoch(self, epoch: int) -> float:
+        loader = self.loaders["train"]
+        vocab = loader.pattern_vocab
+        losses = []
+        t0 = time.time()
+        for batch in self._device_batches(loader):
+            self._rng, step_rng = jax.random.split(self._rng)
+            self.state, out = self.train_step(self.state, batch, step_rng)
+            losses.append(out["loss"])
+            self.recorder.update_group_ids(
+                self.group_name,
+                out["preds"],
+                out["labels"],
+                out.get("pattern_id", np.zeros_like(np.asarray(out["loss"]))),
+                vocab,
+                out.get("sample_mask"),
+            )
+        jax.block_until_ready(self.state.params)
+        self.timing_history["train"].append(time.time() - t0)
+        return float(np.mean(jax.device_get(losses)))
+
+    def eval_epoch(self, split: str) -> float:
+        loader = self.loaders[split]
+        vocab = loader.pattern_vocab
+        losses = []
+        t0 = time.time()
+        for batch in self._device_batches(loader):
+            out = self.eval_step(self.state, batch)
+            losses.append(out["loss"])
+            self.recorder.update_group_ids(
+                self.group_name,
+                out["preds"],
+                out["labels"],
+                out.get("pattern_id"),
+                vocab,
+                out.get("sample_mask"),
+            )
+        if losses:
+            jax.block_until_ready(losses[-1])
+        key = "validation" if split == "validation" else split
+        if key in self.timing_history:
+            self.timing_history[key].append(time.time() - t0)
+        return float(np.mean(jax.device_get(losses))) if losses else 0.0
+
+    # -- driver -----------------------------------------------------------------
+
+    def run(self) -> Dict[str, Any]:
+        best_metrics: Optional[Dict[str, Any]] = None
+        for epoch in range(1, self.epochs + 1):
+            self.recorder.reset()
+            train_loss = self.train_epoch(epoch)
+            train_metrics = flatten_dict(
+                self.recorder.calculate_all_groups(epoch=epoch, loss=train_loss)
+            )
+            train_metrics["loss"] = train_loss
+            self.metrics_history["train"].append(dict(train_metrics))
+
+            self.recorder.reset()
+            val_loss = self.eval_epoch("validation")
+            val_metrics = flatten_dict(
+                self.recorder.calculate_all_groups(
+                    epoch=epoch, loss=val_loss, skip_tensorboard=False
+                )
+            )
+            val_metrics["loss"] = val_loss
+            self.metrics_history["validation"].append(dict(val_metrics))
+
+            n_train = max(len(self.loaders["train"]), 1)
+            n_val = max(len(self.loaders["validation"]), 1)
+            epoch_entry = {
+                "epoch": epoch,
+                "train": {
+                    "loss": train_loss,
+                    "timing": {
+                        "total_time": self.timing_history["train"][-1],
+                        "avg_batch_time": self.timing_history["train"][-1] / n_train,
+                    },
+                    **_nest_epoch_metrics(train_metrics),
+                },
+                "validation": {
+                    "loss": val_loss,
+                    "timing": {
+                        "total_time": self.timing_history["validation"][-1],
+                        "avg_batch_time": self.timing_history["validation"][-1] / n_val,
+                    },
+                    **_nest_epoch_metrics(val_metrics),
+                },
+            }
+            self.epoch_metrics.append(epoch_entry)
+            self._write_epoch_metrics()
+
+            if epoch % self.print_interval == 0:
+                console.print(
+                    f"epoch {epoch}/{self.epochs} — "
+                    f"train loss {train_loss:.4f}, val loss {val_loss:.4f}"
+                )
+
+            target = val_metrics.get(self.save_metric)
+            if target is None:
+                # accuracy-style metrics carry pattern suffixes — use the
+                # full-modality one if present, else the first match.
+                cands = [k for k in val_metrics if k.startswith(self.save_metric)]
+                target = val_metrics[max(cands, key=len)] if cands else val_loss
+            is_best = self.early.step(float(target))
+            if is_best:
+                best_metrics = dict(val_metrics)
+                self.ckpt.save_checkpoint(self.state, epoch, float(target))
+                if self.on_best is not None:
+                    self.on_best(self.state, epoch)
+            if self.early.should_stop:
+                console.print(f"early stopping at epoch {epoch}")
+                break
+
+            if self.lr is not None:
+                metric_for_sched = (
+                    val_loss if self.lr.kind == "plateau" else None
+                )
+                scale = self.lr.step(metric_for_sched)
+                set_lr_scale(self.state.opt_state, scale)
+
+        return best_metrics or {}
+
+    def test(self, splits=("test",)) -> Dict[str, Dict[str, Any]]:
+        """Restore best checkpoint and evaluate the given splits."""
+        try:
+            self.state = self.ckpt.load_checkpoint(self.state, "best")
+        except FileNotFoundError:
+            logger.warning("no best checkpoint — testing current params")
+        results = {}
+        for split in splits:
+            if split not in self.loaders:
+                continue
+            self.recorder.reset()
+            loss = self.eval_epoch(split)
+            metrics = flatten_dict(
+                self.recorder.calculate_all_groups(loss=loss, skip_tensorboard=True)
+            )
+            metrics["loss"] = loss
+            results[split] = metrics
+            if self.metrics_path:
+                path = self.metrics_path / f"{split}_metrics.json"
+                path.write_text(json.dumps(_jsonable(metrics), indent=4))
+        return results
+
+    def _write_epoch_metrics(self) -> None:
+        if self.metrics_path is None:
+            return
+        self.metrics_path.mkdir(parents=True, exist_ok=True)
+        (self.metrics_path / "epoch_metrics.json").write_text(
+            json.dumps(_jsonable(self.epoch_metrics), indent=4)
+        )
+
+
+def _jsonable(obj: Any) -> Any:
+    if isinstance(obj, dict):
+        return {str(k): _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, (np.integer,)):
+        return int(obj)
+    if isinstance(obj, (np.floating,)):
+        return float(obj)
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    return obj

@@ -1,0 +1,174 @@
+"""Pure jitted train/eval steps — the hot loop.
+
+Design inversion vs the reference (SURVEY.md §7): reference models own
+`train_step` with `.to(device)` + `.cpu().numpy()` inside (two host↔device
+syncs per step, models/avmnist.py:291-309). Here the step is a pure function
+over (TrainState, batch) compiled once per shape:
+
+- gradients + optax update + BN-stat update fused into one XLA program,
+- donated state → in-place buffer updates on device,
+- outputs (loss, preds, labels, pattern ids) stay on device; the metric
+  recorder defers transfer to epoch end (one bulk device_get),
+- batch sharded over the mesh 'data' axis; XLA inserts the ICI psum for
+  gradient reduction automatically.
+
+A `Task` bundles the model's apply signature so one step builder serves all
+model families.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mmtpu.train.losses import LossFunctionGroup
+from mmtpu.train.state import TrainState
+
+
+@dataclasses.dataclass
+class ClassificationTask:
+    """Single/multi-input classifier: inputs → logits → CE/BCE loss.
+
+    input_keys: batch keys fed positionally to the model.
+    multilabel: sigmoid+threshold predictions (MMIMDb) vs argmax.
+    """
+
+    model: Any
+    loss_group: LossFunctionGroup
+    input_keys: Sequence[str] = ("audio", "image")
+    label_key: str = "labels"
+    multilabel: bool = False
+    binary_threshold: float = 0.5
+
+    def apply(self, variables, batch, *, train: bool, rngs=None, mutable=False):
+        inputs = []
+        for k in self.input_keys:
+            x = batch[k]
+            mask = batch.get(f"{k}_mask")
+            if mask is not None:
+                # missing-modality zeroing, fused on device (reference does
+                # this per-sample on host, data/base_dataset.py:71)
+                x = x * mask.reshape(mask.shape[0], *([1] * (x.ndim - 1)))
+            inputs.append(x)
+        return self.model.apply(
+            variables, *inputs, train=train, rngs=rngs, mutable=mutable
+        )
+
+    def predictions(self, logits: jnp.ndarray) -> jnp.ndarray:
+        if self.multilabel:
+            return (jax.nn.sigmoid(logits) > self.binary_threshold).astype(jnp.int32)
+        return jnp.argmax(logits, axis=-1)
+
+    def loss(self, logits, batch) -> jnp.ndarray:
+        return self.loss_group(logits, batch[self.label_key])["total_loss"]
+
+
+def make_train_step(
+    task: ClassificationTask,
+    mesh=None,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted train step: (state, batch, rng) → (state, out)."""
+
+    def step(state: TrainState, batch: Dict[str, Any], rng) -> Any:
+        sample_mask = batch.get("sample_mask")
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            out = task.apply(
+                variables,
+                batch,
+                train=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"] if state.batch_stats else False,
+            )
+            if state.batch_stats:
+                logits, updates = out
+                new_stats = updates["batch_stats"]
+            else:
+                logits, new_stats = out, state.batch_stats
+            if sample_mask is not None:
+                # padded tail rows must not contribute to the loss
+                per = self_loss_per_sample(task, logits, batch)
+                loss = jnp.sum(per * sample_mask) / jnp.maximum(
+                    jnp.sum(sample_mask), 1.0
+                )
+            else:
+                loss = task.loss(logits, batch)
+            return loss, (logits, new_stats)
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        out = {
+            "loss": loss,
+            "preds": task.predictions(logits),
+            "labels": batch[task.label_key],
+        }
+        if "pattern_id" in batch:
+            out["pattern_id"] = batch["pattern_id"]
+        if sample_mask is not None:
+            out["sample_mask"] = sample_mask
+        return new_state, out
+
+    donate_argnums = (0,) if donate else ()
+    if mesh is not None:
+        return jax.jit(step, donate_argnums=donate_argnums)
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def self_loss_per_sample(task: ClassificationTask, logits, batch):
+    """Per-sample (unreduced) loss for masked-mean under padding."""
+    labels = batch[task.label_key]
+    if task.multilabel:
+        import optax
+
+        per = optax.sigmoid_binary_cross_entropy(
+            logits.astype(jnp.float32), labels.astype(jnp.float32)
+        ).mean(axis=-1)
+    else:
+        import optax
+
+        per = optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), labels.astype(jnp.int32)
+        )
+    return per
+
+
+def make_eval_step(task: ClassificationTask, mesh=None) -> Callable:
+    def step(state: TrainState, batch: Dict[str, Any]) -> Dict[str, Any]:
+        logits = task.apply(state.variables, batch, train=False)
+        sample_mask = batch.get("sample_mask")
+        if sample_mask is not None:
+            per = self_loss_per_sample(task, logits, batch)
+            loss = jnp.sum(per * sample_mask) / jnp.maximum(jnp.sum(sample_mask), 1.0)
+        else:
+            loss = task.loss(logits, batch)
+        out = {
+            "loss": loss,
+            "preds": task.predictions(logits),
+            "labels": batch[task.label_key],
+            "logits": logits,
+        }
+        if "pattern_id" in batch:
+            out["pattern_id"] = batch["pattern_id"]
+        if sample_mask is not None:
+            out["sample_mask"] = sample_mask
+        return out
+
+    return jax.jit(step)
+
+
+def batch_shardings(mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
+    return {
+        k: NamedSharding(mesh, P("data", *([None] * (jnp.ndim(v) - 1))))
+        for k, v in batch.items()
+    }

@@ -1,0 +1,153 @@
+"""Shape/behavior tests for every encoder and fusion primitive.
+
+Golden shapes from the reference: MNISTAudio flatten=4800 → hidden
+(models/avmnist.py:74), MNISTImage flatten=3136 (:152), LeNet flatten=400
+(lenet.py:48), TextCNN 3*out_channels concat (textcnn.py:60-69)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmtpu.config import StandardMultimodalConfig
+from mmtpu.models import build_module
+
+RNG = jax.random.PRNGKey(0)
+AVMNIST_BASE_YAML = (
+    "/root/reference/MML_Suite/configs/avmnist/centralised/train_avmnist.yaml"
+)
+
+
+def _init_apply(mod, *args, train=False, **kwargs):
+    variables = mod.init({"params": RNG, "dropout": RNG}, *args, train=train, **kwargs)
+    out = mod.apply(
+        variables, *args, train=train, rngs={"dropout": RNG}, **kwargs
+    )
+    return variables, out
+
+
+class TestEncoders:
+    def test_mnist_audio_golden_flatten(self):
+        cfg = StandardMultimodalConfig.load(AVMNIST_BASE_YAML, run_id=1)
+        enc = cfg.model.kwargs["audio_encoder"].build()
+        v, out = _init_apply(enc, jnp.zeros((2, 32, 94, 1)))
+        assert out.shape == (2, 64)
+        # 64ch * 5 * 15 = 4800 — the reference's precomputed constant.
+        assert v["params"]["fc"]["kernel"].shape == (4800, 64)
+
+    def test_mnist_image_golden_flatten(self):
+        cfg = StandardMultimodalConfig.load(AVMNIST_BASE_YAML, run_id=1)
+        enc = cfg.model.kwargs["image_encoder"].build()
+        v, out = _init_apply(enc, jnp.zeros((2, 28, 28, 1)))
+        assert out.shape == (2, 128)
+        assert v["params"]["fc"]["kernel"].shape == (3136, 128)
+
+    def test_resnet18_audio(self):
+        enc = build_module("resnet18", in_channels=1, hidden_dim=64)
+        _, out = _init_apply(enc, jnp.zeros((2, 32, 94, 1)))
+        assert out.shape == (2, 64)
+
+    def test_resnet34_image(self):
+        enc = build_module("resnet34", in_channels=1, hidden_dim=128)
+        _, out = _init_apply(enc, jnp.zeros((2, 28, 28, 1)))
+        assert out.shape == (2, 128)
+
+    def test_lenet5_golden_flatten(self):
+        enc = build_module("lenet5", in_channels=1, hidden_dim=84)
+        v, out = _init_apply(enc, jnp.zeros((2, 28, 28, 1)))
+        assert out.shape == (2, 84)
+        assert v["params"]["fc1"]["kernel"].shape == (400, 120)
+
+    def test_fc_encoder(self):
+        enc = build_module("fcencoder", input_dim=64, layers=[128, 32], dropout=0.0)
+        _, out = _init_apply(enc, jnp.zeros((2, 64)))
+        assert out.shape == (2, 32)
+
+    def test_textcnn(self):
+        enc = build_module("textcnn", input_size=768, embd_size=96)
+        _, out = _init_apply(enc, jnp.zeros((2, 50, 768)))
+        assert out.shape == (2, 96)
+
+    @pytest.mark.parametrize("method", ["last", "attention", "maxpool"])
+    def test_lstm_pooling_methods(self, method):
+        enc = build_module(
+            "lstmencoder", input_size=130, hidden_size=64, embd_method=method
+        )
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(3, 20, 130)), jnp.float32)
+        lengths = jnp.array([20, 7, 1])
+        v = enc.init({"params": RNG}, x, lengths)
+        out = enc.apply(v, x, lengths)
+        assert out.shape == (3, 64)
+
+    def test_lstm_last_respects_lengths(self):
+        enc = build_module("lstmencoder", input_size=8, hidden_size=16)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 10, 8)), jnp.float32)
+        lengths = jnp.array([4, 10])
+        v = enc.init({"params": RNG}, x, lengths)
+        full = enc.apply(v, x, lengths)
+        # Truncating sample 0 to its true length must not change its output.
+        x_trunc = x.at[0, 4:].set(123.0)  # garbage beyond the length
+        out_trunc = enc.apply(v, x_trunc, lengths)
+        np.testing.assert_allclose(full[0], out_trunc[0], rtol=1e-5)
+
+
+class TestFusion:
+    def test_maxout_matches_naive(self):
+        mod = build_module("maxout", input_dim=16, output_dim=8, num_units=3)
+        x = jnp.asarray(np.random.default_rng(1).normal(size=(4, 16)), jnp.float32)
+        v, out = _init_apply(mod, x)
+        kernel = v["params"]["units"]["kernel"]  # (16, 24)
+        bias = v["params"]["units"]["bias"]
+        naive = (x @ kernel + bias).reshape(4, 3, 8).max(axis=1)
+        np.testing.assert_allclose(out, naive, rtol=1e-5)
+
+    def test_gated_bimodal(self):
+        mod = build_module(
+            "gated_bimodal",
+            input_one_dim=64, input_two_dim=128,
+            output_one_dim=32, output_two_dim=32,
+        )
+        _, out = _init_apply(mod, jnp.ones((2, 64)), jnp.ones((2, 128)))
+        assert out.shape == (2, 32)
+
+    @pytest.mark.parametrize("kind", ["max", "avg", "sum", "attention", "gated"])
+    def test_multimodal_pooling(self, kind):
+        mod = build_module(
+            "multimodal_pooling",
+            input_dim_a=64, input_dim_b=128, output_dim=32, pooling_type=kind,
+        )
+        _, out = _init_apply(mod, jnp.ones((2, 64)), jnp.ones((2, 128)))
+        assert out.shape == (2, 32)
+
+
+class TestAVMNISTModel:
+    def test_full_model_forward_and_batchstats(self):
+        cfg = StandardMultimodalConfig.load(AVMNIST_BASE_YAML, run_id=1)
+        model = build_module(
+            "avmnist",
+            audio_encoder=cfg.model.kwargs["audio_encoder"],
+            image_encoder=cfg.model.kwargs["image_encoder"],
+            hidden_dim=128, dropout=0.5, fusion_fn="concat",
+        )
+        A, I = jnp.ones((2, 32, 94, 1)), jnp.ones((2, 28, 28, 1))
+        v = model.init({"params": RNG}, A, I, train=False)
+        logits, updates = model.apply(
+            v, A, I, train=True, rngs={"dropout": RNG}, mutable=["batch_stats"]
+        )
+        assert logits.shape == (2, 10)
+        assert "batch_stats" in updates
+        # eval path is deterministic
+        out1 = model.apply(v, A, I, train=False)
+        out2 = model.apply(v, A, I, train=False)
+        np.testing.assert_array_equal(out1, out2)
+
+    def test_monomodal_encoder_head(self):
+        enc_spec = StandardMultimodalConfig.load(AVMNIST_BASE_YAML, run_id=1)
+        mono = build_module(
+            "monomodal_encoder",
+            encoder=enc_spec.model.kwargs["audio_encoder"],
+            output_dim=64, num_classes=10,
+        )
+        _, out = _init_apply(mono, jnp.zeros((2, 32, 94, 1)))
+        assert out.shape == (2, 10)

@@ -1,0 +1,250 @@
+"""Training-stack tests: optimizer groups, LR controllers, recorder, steps,
+checkpoint round-trip, and a tiny end-to-end learn test."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mmtpu.config import MetricConfig, OptimizerConfig
+from mmtpu.config.metrics import MetricDef
+from mmtpu.models import build_module
+from mmtpu.train.early_stopping import EarlyStopping
+from mmtpu.train.losses import LossFunctionGroup
+from mmtpu.train.optim import LRController, build_optimizer, set_lr_scale
+from mmtpu.train.recorder import MetricRecorder
+from mmtpu.train.state import TrainState
+from mmtpu.train.step import ClassificationTask, make_eval_step, make_train_step
+
+
+def tiny_model():
+    return build_module("fcclassifier", input_dim=8, layers=[16], output_dim=3,
+                        dropout=0.0)
+
+
+def tiny_state(lr=0.05, opt_cfg=None):
+    model = tiny_model()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 8)))["params"]
+    cfg = opt_cfg or OptimizerConfig(name="Adam", default_kwargs={"lr": lr})
+    tx, _ = build_optimizer(cfg, params)
+    return model, TrainState.create(
+        apply_fn=model.apply, params=params, tx=tx, batch_stats={}
+    )
+
+
+class TestOptim:
+    def test_param_group_lrs_differ(self):
+        model, _ = tiny_state()
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 8)))["params"]
+        cfg = OptimizerConfig(
+            name="Adam", default_kwargs={"lr": 0.1},
+        )
+        tx, report = build_optimizer(
+            cfg, params, extra_groups=[("^fc_0/", {"lr": 0.0})]
+        )
+        state = TrainState.create(apply_fn=model.apply, params=params, tx=tx,
+                                  batch_stats={})
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        new_state = state.apply_gradients(grads=grads)
+        # fc_0 group has lr 0 → unchanged; fc_out moved.
+        np.testing.assert_array_equal(
+            new_state.params["fc_0"]["kernel"], params["fc_0"]["kernel"]
+        )
+        assert not np.allclose(
+            new_state.params["fc_out"]["kernel"], params["fc_out"]["kernel"]
+        )
+
+    def test_overlapping_groups_rejected(self):
+        model, _ = tiny_state()
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 8)))["params"]
+        cfg = OptimizerConfig(name="Adam", default_kwargs={"lr": 0.1})
+        with pytest.raises(ValueError, match="matched by groups"):
+            build_optimizer(
+                cfg, params,
+                extra_groups=[("^fc_0/", {"lr": 0.0}), ("fc_0", {"lr": 1.0})],
+            )
+
+    def test_lr_scale_injection(self):
+        model, state = tiny_state(lr=0.1)
+        grads = jax.tree_util.tree_map(jnp.ones_like, state.params)
+        s1 = state.apply_gradients(grads=grads)
+        delta_full = np.abs(
+            np.asarray(s1.params["fc_out"]["kernel"] - state.params["fc_out"]["kernel"])
+        ).mean()
+        set_lr_scale(state.opt_state, 0.0)
+        s2 = state.apply_gradients(grads=grads)
+        np.testing.assert_allclose(
+            np.asarray(s2.params["fc_out"]["kernel"]),
+            np.asarray(state.params["fc_out"]["kernel"]),
+        )
+        assert delta_full > 0
+
+
+class TestLRControllers:
+    def test_step_lr(self):
+        c = LRController("step", {"step_size": 2, "gamma": 0.1}, base_lr=1.0)
+        scales = [c.step() for _ in range(5)]
+        assert scales == [1.0, 1.0, pytest.approx(0.1), pytest.approx(0.1),
+                          pytest.approx(0.01)]
+
+    def test_plateau(self):
+        c = LRController(
+            "plateau", {"factor": 0.5, "patience": 1, "mode": "min"}, base_lr=1.0
+        )
+        assert c.step(1.0) == 1.0
+        assert c.step(1.0) == 1.0   # bad 1
+        assert c.step(1.0) == 0.5   # bad 2 > patience → decay
+        assert c.step(0.2) == 0.5   # improvement, no further decay
+
+    def test_lambda_eval_quirk(self):
+        c = LRController("lambda", {"lr_lambda": "0.95 ** epoch"}, base_lr=1.0)
+        assert c.step() == 1.0
+        assert c.step() == pytest.approx(0.95)
+
+    def test_exponential(self):
+        c = LRController("exponential", {"gamma": 0.5}, base_lr=1.0)
+        assert [c.step() for _ in range(3)] == [1.0, 0.5, 0.25]
+
+
+def make_recorder():
+    cfg = MetricConfig(
+        metrics={
+            "accuracy": MetricDef(function="sklearn.metrics.accuracy_score"),
+        },
+        groups={"classification": ["accuracy"]},
+    )
+    return MetricRecorder(cfg)
+
+
+class TestRecorder:
+    def test_pattern_split_and_naming(self):
+        rec = make_recorder()
+        preds = np.array([0, 1, 1, 0])
+        targets = np.array([0, 1, 0, 0])
+        ids = np.array([0, 0, 1, 1])
+        rec.update_group_ids("classification", preds, targets, ids, ["ai", "a"])
+        res = rec.calculate_metrics_for_group("classification")
+        assert res["accuracy_AI"] == 1.0
+        assert res["accuracy_A"] == 0.5
+
+    def test_sample_mask_excludes_padding(self):
+        rec = make_recorder()
+        preds = np.array([0, 1, 9, 9])
+        targets = np.array([0, 1, 0, 0])
+        ids = np.array([0, 0, 0, 0])
+        mask = np.array([1.0, 1.0, 0.0, 0.0])
+        rec.update_group_ids("classification", preds, targets, ids, ["ai"], mask)
+        res = rec.calculate_metrics_for_group("classification")
+        assert res["accuracy_AI"] == 1.0
+
+    def test_device_arrays_accepted(self):
+        rec = make_recorder()
+        rec.update_group_ids(
+            "classification",
+            jnp.array([1, 0]), jnp.array([1, 0]), jnp.array([0, 0]), ["ai"],
+        )
+        assert rec.calculate_metrics_for_group("classification")["accuracy_AI"] == 1.0
+
+    def test_z_strip_quirk(self):
+        rec = make_recorder()
+        rec.update_group("classification", np.array([1]), np.array([1]), "azv")
+        res = rec.calculate_metrics_for_group("classification")
+        assert "accuracy_AV" in res  # 'z' stripped, upper-cased
+
+
+class TestSteps:
+    def test_tiny_model_learns(self):
+        model, state = tiny_state(lr=0.05)
+        task = ClassificationTask(
+            model=model,
+            loss_group=LossFunctionGroup.from_dict(
+                {"ce": {"loss_name": "cross_entropy", "weight": 1.0}}
+            ),
+            input_keys=("x",),
+        )
+        train = make_train_step(task)
+        rng = np.random.default_rng(0)
+        labels = rng.integers(0, 3, 64)
+        x = rng.normal(size=(64, 8)).astype(np.float32) + labels[:, None]
+        batch = {"x": jnp.asarray(x), "labels": jnp.asarray(labels)}
+        key = jax.random.PRNGKey(0)
+        first_loss = None
+        for i in range(60):
+            state, out = train(state, batch, key)
+            if first_loss is None:
+                first_loss = float(out["loss"])
+        assert float(out["loss"]) < first_loss * 0.3
+
+    def test_sample_mask_zeroes_loss_contribution(self):
+        model, state = tiny_state()
+        task = ClassificationTask(
+            model=model,
+            loss_group=LossFunctionGroup.from_dict(
+                {"ce": {"loss_name": "cross_entropy", "weight": 1.0}}
+            ),
+            input_keys=("x",),
+        )
+        ev = make_eval_step(task)
+        x = jnp.ones((4, 8))
+        labels = jnp.array([0, 1, 2, 0])
+        full = ev(state, {"x": x, "labels": labels,
+                          "sample_mask": jnp.array([1.0, 1.0, 0.0, 0.0])})
+        half = ev(state, {"x": x[:2], "labels": labels[:2],
+                          "sample_mask": jnp.array([1.0, 1.0])})
+        np.testing.assert_allclose(
+            float(full["loss"]), float(half["loss"]), rtol=1e-5
+        )
+
+
+class TestEarlyStopping:
+    def test_patience(self):
+        es = EarlyStopping(patience=2, min_delta=0.0, mode="min")
+        assert es.step(1.0)
+        assert not es.step(1.5)
+        assert not es.step(1.4)
+        assert es.should_stop
+
+    def test_improvement_resets(self):
+        es = EarlyStopping(patience=2, min_delta=0.0, mode="min")
+        es.step(1.0)
+        es.step(1.5)
+        assert es.step(0.5)
+        assert es.counter == 0
+
+
+class TestCheckpoints:
+    def test_roundtrip(self, tmp_path):
+        from mmtpu.checkpoints.manager import CheckpointManager
+
+        model, state = tiny_state()
+        mgr = CheckpointManager(tmp_path)
+        mgr.save_checkpoint(state, epoch=1, metric_value=0.5)
+        # perturb, then restore
+        zeroed = state.replace(
+            params=jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        )
+        restored = mgr.load_checkpoint(zeroed, "best")
+        np.testing.assert_allclose(
+            np.asarray(restored.params["fc_out"]["kernel"]),
+            np.asarray(state.params["fc_out"]["kernel"]),
+        )
+
+    def test_encoder_artifact_roundtrip(self, tmp_path):
+        from mmtpu.checkpoints.manager import (
+            CheckpointManager,
+            load_encoder_checkpoint,
+        )
+
+        model, state = tiny_state()
+        mgr = CheckpointManager(tmp_path)
+        mgr.save_encoder(state.params, "audio")
+        # load back into a zeroed copy, including the .pth-name fallback
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        loaded, _ = load_encoder_checkpoint(
+            tmp_path / "encoder_audio_best.pth", zeros
+        )
+        np.testing.assert_allclose(
+            np.asarray(loaded["fc_out"]["kernel"]),
+            np.asarray(state.params["fc_out"]["kernel"]),
+        )
