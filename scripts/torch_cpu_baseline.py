@@ -1,0 +1,100 @@
+"""Measure the PyTorch-CPU baseline for bench.py's vs_baseline ratio.
+
+Builds a torch model equivalent to the reference's north-star AVMNIST
+configuration (ResNet18 audio encoder hidden 64 + ResNet34 image encoder
+hidden 128 + concat fusion MLP, batch 128 — see BASELINE.md) and times
+train steps on CPU. The measured samples/sec goes into bench.py as the
+denominator constant.
+
+Usage: python scripts/torch_cpu_baseline.py [steps]
+"""
+
+import sys
+import time
+
+import torch
+import torch.nn as nn
+
+
+class Block(nn.Module):
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.c1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.b1 = nn.BatchNorm2d(cout)
+        self.c2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.b2 = nn.BatchNorm2d(cout)
+        self.down = None
+        if stride != 1 or cin != cout:
+            self.down = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride, bias=False), nn.BatchNorm2d(cout)
+            )
+
+    def forward(self, x):
+        idn = self.down(x) if self.down else x
+        out = torch.relu(self.b1(self.c1(x)))
+        out = self.b2(self.c2(out))
+        return torch.relu(out + idn)
+
+
+class ResNet(nn.Module):
+    def __init__(self, layers, hidden_dim):
+        super().__init__()
+        self.stem = nn.Sequential(
+            nn.Conv2d(1, 64, 7, 2, 3, bias=False), nn.BatchNorm2d(64),
+            nn.ReLU(), nn.MaxPool2d(3, 2, 1),
+        )
+        stages, cin = [], 64
+        for s, (cout, n) in enumerate(zip((64, 128, 256, 512), layers)):
+            for i in range(n):
+                stages.append(Block(cin, cout, 2 if (s > 0 and i == 0) else 1))
+                cin = cout
+        self.stages = nn.Sequential(*stages)
+        self.fc = nn.Linear(512, hidden_dim)
+
+    def forward(self, x):
+        x = self.stages(self.stem(x))
+        x = x.mean(dim=(2, 3))
+        return self.fc(x)
+
+
+class Fusion(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.audio = ResNet([2, 2, 2, 2], 64)
+        self.image = ResNet([3, 4, 6, 3], 128)
+        self.net = nn.Sequential(
+            nn.Linear(64 + 128, 128), nn.ReLU(), nn.Dropout(0.5),
+            nn.Linear(128, 64), nn.ReLU(), nn.Linear(64, 10),
+        )
+
+    def forward(self, a, i):
+        return self.net(torch.cat([self.audio(a), self.image(i)], dim=1))
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    torch.manual_seed(0)
+    model = Fusion()
+    opt = torch.optim.Adam(model.parameters(), lr=5e-4, weight_decay=1e-4)
+    loss_fn = nn.CrossEntropyLoss()
+    B = 128
+    a = torch.randn(B, 1, 32, 94)
+    i = torch.randn(B, 1, 28, 28)
+    y = torch.randint(0, 10, (B,))
+
+    model.train()
+    for _ in range(3):  # warmup
+        opt.zero_grad(); loss_fn(model(a, i), y).backward(); opt.step()
+    t0 = time.time()
+    for _ in range(steps):
+        opt.zero_grad()
+        loss = loss_fn(model(a, i), y)
+        loss.backward()
+        opt.step()
+    dt = time.time() - t0
+    rate = steps * B / dt
+    print(f"torch-cpu: {steps} steps in {dt:.2f}s -> {rate:.1f} samples/sec")
+
+
+if __name__ == "__main__":
+    main()
