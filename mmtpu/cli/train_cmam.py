@@ -1,0 +1,156 @@
+"""CMAM training entry point (reference: train_cmam.py:127-1024).
+
+Builds the frozen base model from config.model (restoring its
+`pretrained_path` checkpoint), the CMAM from config.cmam, copies the base
+encoders' states into the CMAM input encoders when requested
+(train_cmam.py:226-236), and runs the frozen-teacher loop with
+classification + reconstruction metric groups.
+
+    python -m mmtpu.cli.train_cmam --config X.yaml --run_id N [...]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from mmtpu.checkpoints.manager import load_pytree
+from mmtpu.cli import common
+from mmtpu.cli.train_multimodal import modalities_for_model
+from mmtpu.config.cmam import CMAMConfig
+from mmtpu.modalities import Modality
+from mmtpu.train.cmam_loss import CMAMLoss
+from mmtpu.train.cmam_step import CMAMTask, make_cmam_eval_step, make_cmam_train_step
+from mmtpu.train.loop import TrainLoop
+from mmtpu.utils.printing import get_console
+
+console = get_console()
+
+
+def main(argv=None) -> int:
+    args = common.standard_arg_parser(__doc__).parse_args(argv)
+    common.apply_platform(args)
+    cfg = CMAMConfig.load(args.config, run_id=args.run_id)
+    cfg.logging.create_directories()
+
+    loaders = cfg.data.build_all_loaders(
+        is_train=not args.skip_train, is_test=not args.skip_test,
+        seed=cfg.experiment.seed,
+    )
+    any_split = next(iter(loaders.values()))
+    ds = any_split.dataset
+
+    # -- frozen base model ---------------------------------------------------
+    base_mods = modalities_for_model(cfg.model.model_type)
+    base_model = common.build_model_from_config(cfg.model)
+    base_params, base_stats = common.init_model(
+        base_model, common.sample_inputs_for(ds, base_mods), cfg.experiment.seed
+    )
+    base_variables = {"params": base_params}
+    if base_stats:
+        base_variables["batch_stats"] = base_stats
+    if cfg.model.pretrained_path:
+        from flax import serialization
+
+        raw = load_pytree(Path(cfg.model.pretrained_path))
+        base_variables["params"] = serialization.from_state_dict(
+            base_params, raw["params"]
+        )
+        if base_stats and raw.get("batch_stats"):
+            base_variables["batch_stats"] = serialization.from_state_dict(
+                base_stats, raw["batch_stats"]
+            )
+        console.success(f"restored base model from {cfg.model.pretrained_path}")
+    base_variables = jax.tree_util.tree_map(
+        jax.lax.stop_gradient, base_variables
+    )
+
+    # -- CMAM -----------------------------------------------------------------
+    target_modality = str(
+        Modality(str(cfg.cmam.kwargs.get("target_modality", cfg.target_modality)))
+    )
+    cmam_model = common.build_model_from_config(cfg.cmam)
+    input_mods = sorted(str(Modality(str(k))) for k in cmam_model.input_encoders)
+
+    rng = jax.random.PRNGKey(cfg.experiment.seed)
+    sample_inputs = {m: ds.arrays[Modality(m)][:2] for m in input_mods}
+    variables = cmam_model.init({"params": rng, "dropout": rng}, sample_inputs,
+                                train=False)
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+
+    # copy base encoder states into CMAM input encoders when requested
+    for mod in cfg.cmam.kwargs.get("load_pretrained_encoder_state_for") or ():
+        mod = str(Modality(str(mod)))
+        enc_key = f"{mod}_encoder"
+        if enc_key in base_variables["params"] and f"encoders_{mod}" in params:
+            params[f"encoders_{mod}"] = base_variables["params"][enc_key]
+            console.success(f"copied base {mod} encoder state into CMAM")
+
+    # optimizer over CMAM params only (reference :208)
+    state = common.make_state(cmam_model, params, batch_stats, cfg.training)
+
+    loss_terms = cfg.training.loss_functions
+    cmam_term = next(
+        (t for t in loss_terms.values() if isinstance(t.loss_fn, CMAMLoss)), None
+    )
+    loss = cmam_term.loss_fn if cmam_term else CMAMLoss()
+
+    task = CMAMTask(
+        cmam_model=cmam_model,
+        base_model=base_model,
+        base_variables=base_variables,
+        base_model_type=cfg.model.model_type,
+        input_modalities=input_mods,
+        target_modality=target_modality,
+        loss=loss,
+        labels_key="labels",
+    )
+
+    def record(recorder, out, vocab):
+        pid = out.get("pattern_id")
+        if pid is None:
+            pid = np.zeros(np.asarray(out["labels"]).shape[0], np.int32)
+        if "preds" in out and "classification" in recorder.config.groups:
+            recorder.update_group_ids(
+                "classification", out["preds"], out["labels"], pid, vocab,
+                out.get("sample_mask"),
+            )
+        if "reconstruction" in recorder.config.groups:
+            recorder.update_group_ids(
+                "reconstruction", out["rec_embd"], out["target_embd"], pid, vocab,
+                out.get("sample_mask"),
+            )
+
+    group = next(iter(cfg.metrics.groups), "classification")
+    loop = TrainLoop(
+        task=task,
+        state=state,
+        loaders=loaders,
+        recorder=common.make_recorder(cfg),
+        checkpoint_manager=common.make_checkpoint_manager(cfg),
+        epochs=cfg.training.epochs,
+        save_metric=cfg.logging.save_metric,
+        early_stopping=common.make_early_stopping(cfg),
+        lr_controller=common.make_lr_controller(cfg.training),
+        metrics_path=Path(cfg.logging.metrics_path),
+        group_name=group,
+        record_fn=record,
+        step_builders=(make_cmam_train_step, make_cmam_eval_step),
+        print_interval=cfg.experiment.train_print_interval_epochs,
+    )
+
+    if args.dry_run or cfg.experiment.dry_run:
+        console.success("dry run complete")
+        return 0
+    if not args.skip_train:
+        loop.run()
+    if not args.skip_test:
+        loop.test(splits=[s for s in loaders if s not in ("train", "validation")])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

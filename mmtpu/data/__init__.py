@@ -15,6 +15,14 @@ def resolve_dataset_name(name: str) -> Type[MultimodalArrayDataset]:
         return AVMNIST
     if key in ("synthetic_avmnist", "avmnist_synthetic"):
         return SyntheticAVMNIST
+    if key == "synthetic_mosi":
+        from mmtpu.data.mosi import SyntheticMOSI
+
+        return SyntheticMOSI
+    if key == "synthetic_mmimdb":
+        from mmtpu.data.mmimdb import SyntheticMMIMDb
+
+        return SyntheticMMIMDb
     if key in ("mosi", "mosei"):
         from mmtpu.data.mosi import MOSEI, MOSI
 

@@ -1,0 +1,183 @@
+"""CMAM training: frozen-teacher two-model step.
+
+Reference: models/cmams.py train_step (:173-250) and train_cmam.py — teacher
+embedding computed under no_grad (:208-212), reconstruction via the CMAM,
+classification of the reconstructed embedding pushed back through the frozen
+base model (:229-237), composite CMAMLoss. Optimizer covers CMAM params only
+(train_cmam.py:208).
+
+Pure-jit version: teacher params are captured as constants (stop_gradient);
+one compiled step does teacher-encode + reconstruct + teacher-classify +
+loss + update.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from mmtpu.modalities import Modality
+from mmtpu.train.cmam_loss import CMAMLoss
+from mmtpu.train.state import TrainState
+
+# model_type → (modality → forward-kwarg letter)
+FORWARD_KWARGS: Dict[str, Dict[str, str]] = {
+    "avmnist": {"audio": "A", "image": "I"},
+    "utt-fusion": {"audio": "A", "video": "V", "text": "T"},
+    "utt_fusion": {"audio": "A", "video": "V", "text": "T"},
+    "mmimdb": {"image": "I", "text": "T"},
+}
+
+
+@dataclasses.dataclass
+class CMAMTask:
+    cmam_model: Any
+    base_model: Any
+    base_variables: Dict[str, Any]  # frozen teacher
+    base_model_type: str
+    input_modalities: Sequence[str]
+    target_modality: str
+    loss: CMAMLoss
+    labels_key: str = "labels"
+    cls_from_rec: bool = True
+
+    def _kwarg_letters(self) -> Dict[str, str]:
+        return FORWARD_KWARGS[self.base_model_type.lower()]
+
+    @staticmethod
+    def masked(batch, mod: str) -> jnp.ndarray:
+        """Pattern-masked modality, like the reference's batch[Modality.X]."""
+        x = batch[mod]
+        mask = batch.get(f"{mod}_mask")
+        if mask is not None:
+            x = x * mask.reshape(mask.shape[0], *([1] * (x.ndim - 1)))
+        return x
+
+    def teacher_embedding(self, batch) -> jnp.ndarray:
+        """Frozen target-modality embedding from the base model's encoder."""
+        enc_name = f"{self.target_modality}_encoder"
+        x = self.masked(batch, self.target_modality)
+        # AVMNIST-style models expose per-modality encoders as submodules;
+        # UttFusion exposes netA/netV/netT.
+        variables = self.base_variables
+        if enc_name in variables["params"]:
+            sub_vars = {
+                "params": variables["params"][enc_name],
+            }
+            if variables.get("batch_stats") and enc_name in variables["batch_stats"]:
+                sub_vars["batch_stats"] = variables["batch_stats"][enc_name]
+            encoder = getattr(self.base_model, enc_name)
+            out = encoder.apply(sub_vars, x, train=False)
+        else:
+            net = {"audio": "netA", "video": "netV", "text": "netT"}[
+                self.target_modality
+            ]
+            sub_vars = {"params": variables["params"][net]}
+            if variables.get("batch_stats") and net in variables["batch_stats"]:
+                sub_vars["batch_stats"] = variables["batch_stats"][net]
+            encoder = getattr(self.base_model, net)
+            out = encoder.apply(sub_vars, x, train=False)
+        return jax.lax.stop_gradient(out)
+
+    def teacher_classify(self, rec_embd, batch) -> jnp.ndarray:
+        """Push the reconstructed embedding through the frozen base model."""
+        letters = self._kwarg_letters()
+        kwargs: Dict[str, Any] = {}
+        for mod in letters:
+            letter = letters[mod]
+            if mod == self.target_modality:
+                kwargs[letter] = rec_embd
+                kwargs[f"is_embd_{letter}"] = True
+            elif mod in batch:
+                kwargs[letter] = self.masked(batch, mod)
+        return self.base_model.apply(self.base_variables, train=False, **kwargs)
+
+
+def make_cmam_train_step(task: CMAMTask) -> Callable:
+    def step(state: TrainState, batch: Dict[str, Any], rng):
+        target_embd = task.teacher_embedding(batch)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            inputs = {m: task.masked(batch, m) for m in task.input_modalities}
+            out = state.apply_fn(
+                variables,
+                inputs,
+                train=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"] if state.batch_stats else False,
+            )
+            if state.batch_stats:
+                rec, updates = out
+                new_stats = updates["batch_stats"]
+            else:
+                rec, new_stats = out, state.batch_stats
+            cls_logits = (
+                task.teacher_classify(rec, batch) if task.cls_from_rec else None
+            )
+            terms = task.loss(
+                rec,
+                target_embd,
+                cls_logits=cls_logits,
+                cls_labels=batch.get(task.labels_key) if task.cls_from_rec else None,
+            )
+            return terms["total_loss"], (rec, cls_logits, terms, new_stats)
+
+        (loss, (rec, cls_logits, terms, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        out = {
+            "loss": loss,
+            "terms": {k: v for k, v in terms.items()},
+            "rec_embd": rec,
+            "target_embd": target_embd,
+            "labels": batch.get(task.labels_key),
+        }
+        if cls_logits is not None:
+            out["preds"] = jnp.argmax(cls_logits, axis=-1)
+        if "pattern_id" in batch:
+            out["pattern_id"] = batch["pattern_id"]
+        if "sample_mask" in batch:
+            out["sample_mask"] = batch["sample_mask"]
+        return new_state, out
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_cmam_eval_step(task: CMAMTask) -> Callable:
+    def step(state: TrainState, batch: Dict[str, Any]):
+        target_embd = task.teacher_embedding(batch)
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        inputs = {m: batch[m] for m in task.input_modalities}
+        rec = state.apply_fn(variables, inputs, train=False)
+        cls_logits = task.teacher_classify(rec, batch) if task.cls_from_rec else None
+        terms = task.loss(
+            rec,
+            target_embd,
+            cls_logits=cls_logits,
+            cls_labels=batch.get(task.labels_key) if task.cls_from_rec else None,
+        )
+        out = {
+            "loss": terms["total_loss"],
+            "terms": terms,
+            "rec_embd": rec,
+            "target_embd": target_embd,
+            "labels": batch.get(task.labels_key),
+        }
+        if cls_logits is not None:
+            out["preds"] = jnp.argmax(cls_logits, axis=-1)
+        if "pattern_id" in batch:
+            out["pattern_id"] = batch["pattern_id"]
+        if "sample_mask" in batch:
+            out["sample_mask"] = batch["sample_mask"]
+        return out
+
+    return jax.jit(step)

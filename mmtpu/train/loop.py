@@ -69,6 +69,8 @@ class TrainLoop:
         mesh=None,
         on_best: Optional[Callable[[Any, int], None]] = None,
         print_interval: int = 1,
+        record_fn: Optional[Callable] = None,
+        step_builders: Optional[Any] = None,
     ) -> None:
         self.task = task
         self.state = state
@@ -85,8 +87,14 @@ class TrainLoop:
         self.on_best = on_best
         self.print_interval = print_interval
 
-        self.train_step = make_train_step(task, mesh=mesh)
-        self.eval_step = make_eval_step(task, mesh=mesh)
+        if step_builders is not None:
+            make_train, make_eval = step_builders
+            self.train_step = make_train(task)
+            self.eval_step = make_eval(task)
+        else:
+            self.train_step = make_train_step(task, mesh=mesh)
+            self.eval_step = make_eval_step(task, mesh=mesh)
+        self._record = record_fn or self._default_record
         self.epoch_metrics: List[Dict[str, Any]] = []
         self.timing_history: Dict[str, List[float]] = {"train": [], "validation": []}
         self.metrics_history: Dict[str, List[Dict[str, Any]]] = {
@@ -111,14 +119,7 @@ class TrainLoop:
             self._rng, step_rng = jax.random.split(self._rng)
             self.state, out = self.train_step(self.state, batch, step_rng)
             losses.append(out["loss"])
-            self.recorder.update_group_ids(
-                self.group_name,
-                out["preds"],
-                out["labels"],
-                out.get("pattern_id", np.zeros_like(np.asarray(out["loss"]))),
-                vocab,
-                out.get("sample_mask"),
-            )
+            self._record(self.recorder, out, vocab)
         jax.block_until_ready(self.state.params)
         self.timing_history["train"].append(time.time() - t0)
         return float(np.mean(jax.device_get(losses)))
@@ -131,20 +132,23 @@ class TrainLoop:
         for batch in self._device_batches(loader):
             out = self.eval_step(self.state, batch)
             losses.append(out["loss"])
-            self.recorder.update_group_ids(
-                self.group_name,
-                out["preds"],
-                out["labels"],
-                out.get("pattern_id"),
-                vocab,
-                out.get("sample_mask"),
-            )
+            self._record(self.recorder, out, vocab)
         if losses:
             jax.block_until_ready(losses[-1])
         key = "validation" if split == "validation" else split
         if key in self.timing_history:
             self.timing_history[key].append(time.time() - t0)
         return float(np.mean(jax.device_get(losses))) if losses else 0.0
+
+    def _default_record(self, recorder, out, vocab) -> None:
+        recorder.update_group_ids(
+            self.group_name,
+            out["preds"],
+            out["labels"],
+            out.get("pattern_id", np.zeros(np.asarray(out["preds"]).shape[0], np.int32)),
+            vocab,
+            out.get("sample_mask"),
+        )
 
     # -- driver -----------------------------------------------------------------
 

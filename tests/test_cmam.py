@@ -1,0 +1,118 @@
+"""CMAM frozen-teacher training tests (reference: models/cmams.py:66-250)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmtpu.models import build_module
+from mmtpu.train.cmam_loss import CMAMLoss
+from mmtpu.train.cmam_step import CMAMTask, make_cmam_eval_step, make_cmam_train_step
+from mmtpu.train.state import TrainState
+from mmtpu.train.optim import build_optimizer
+from mmtpu.config.optim import OptimizerConfig
+
+RNG = jax.random.PRNGKey(0)
+
+
+def small_avmnist():
+    enc_args = dict(
+        conv_block_one_one_args={"conv_one_in": 1, "conv_one_out": 8},
+        conv_block_one_two_args={"conv_one_in": 8, "conv_one_out": 8},
+        conv_block_two_one_args={"conv_one_in": 8, "conv_one_out": 16},
+        conv_block_two_two_args={"conv_one_in": 16, "conv_one_out": 16},
+    )
+    audio = build_module("mnist_audio", hidden_dim=12, **enc_args)
+    image = build_module("mnist_image", hidden_dim=16, **enc_args)
+    return build_module(
+        "avmnist", audio_encoder=audio, image_encoder=image,
+        hidden_dim=24, dropout=0.0, fusion_fn="concat",
+    )
+
+
+def make_batch(B=8):
+    rng = np.random.default_rng(0)
+    return {
+        "audio": jnp.asarray(rng.normal(size=(B, 32, 94, 1)), jnp.float32),
+        "image": jnp.asarray(rng.normal(size=(B, 28, 28, 1)), jnp.float32),
+        "audio_mask": jnp.ones((B,)),
+        "image_mask": jnp.ones((B,)),
+        "labels": jnp.asarray(rng.integers(0, 10, B)),
+        "pattern_id": jnp.zeros((B,), jnp.int32),
+        "sample_mask": jnp.ones((B,)),
+    }
+
+
+def build_task():
+    base = small_avmnist()
+    batch = make_batch()
+    base_vars = base.init({"params": RNG}, batch["audio"], batch["image"], train=False)
+
+    cmam = build_module(
+        "cmam",
+        input_encoders={
+            "audio": build_module(
+                "mnist_audio", hidden_dim=12,
+                conv_block_one_one_args={"conv_one_in": 1, "conv_one_out": 8},
+                conv_block_one_two_args={"conv_one_in": 8, "conv_one_out": 8},
+                conv_block_two_one_args={"conv_one_in": 8, "conv_one_out": 16},
+                conv_block_two_two_args={"conv_one_in": 16, "conv_one_out": 16},
+            )
+        },
+        association_network={"input_size": 12, "hidden_size": 32, "output_size": 16},
+        target_modality="image",
+    )
+    cmam_vars = cmam.init(
+        {"params": RNG}, {"audio": batch["audio"]}, train=False
+    )
+    tx, _ = build_optimizer(
+        OptimizerConfig(name="Adam", default_kwargs={"lr": 1e-3}),
+        cmam_vars["params"],
+    )
+    state = TrainState.create(
+        apply_fn=cmam.apply,
+        params=cmam_vars["params"],
+        batch_stats=cmam_vars.get("batch_stats", {}),
+        tx=tx,
+    )
+    task = CMAMTask(
+        cmam_model=cmam,
+        base_model=base,
+        base_variables=base_vars,
+        base_model_type="avmnist",
+        input_modalities=["audio"],
+        target_modality="image",
+        loss=CMAMLoss(cls_weight=0.005),
+    )
+    return task, state, batch, base_vars
+
+
+class TestCMAM:
+    def test_train_step_reduces_reconstruction_loss(self):
+        task, state, batch, _ = build_task()
+        step = make_cmam_train_step(task)
+        first = None
+        for k in range(25):
+            state, out = step(state, batch, jax.random.fold_in(RNG, k))
+            if first is None:
+                first = float(out["loss"])
+        assert float(out["loss"]) < first
+
+    def test_teacher_frozen(self):
+        task, state, batch, base_vars = build_task()
+        step = make_cmam_train_step(task)
+        before = jax.device_get(base_vars["params"]["image_encoder"]["fc"]["kernel"])
+        for k in range(3):
+            state, _ = step(state, batch, jax.random.fold_in(RNG, k))
+        after = jax.device_get(
+            task.base_variables["params"]["image_encoder"]["fc"]["kernel"]
+        )
+        np.testing.assert_array_equal(before, after)
+
+    def test_eval_step_outputs(self):
+        task, state, batch, _ = build_task()
+        ev = make_cmam_eval_step(task)
+        out = ev(state, batch)
+        assert out["rec_embd"].shape == (8, 16)
+        assert out["target_embd"].shape == (8, 16)
+        assert out["preds"].shape == (8,)
+        assert {"cosine", "mae", "mse", "total_loss"} <= set(out["terms"])
