@@ -172,6 +172,15 @@ def make_recorder(cfg) -> MetricRecorder:
     )
 
 
+def make_monitor(cfg):
+    """ExperimentMonitor when enabled (reference setup_tracking :378-435)."""
+    if not cfg.monitoring.enabled or not cfg.logging.monitor_path:
+        return None
+    from mmtpu.monitor import ExperimentMonitor
+
+    return ExperimentMonitor(cfg.monitoring, cfg.logging.monitor_path)
+
+
 def make_checkpoint_manager(cfg) -> CheckpointManager:
     return CheckpointManager(
         cfg.logging.model_output_path,

@@ -91,15 +91,30 @@ def main(argv=None) -> int:
         group_name=group,
         on_best=on_best,
         print_interval=cfg.experiment.train_print_interval_epochs,
+        monitor=common.make_monitor(cfg),
     )
 
     if args.dry_run or cfg.experiment.dry_run:
         console.success("dry run complete")
         return 0
+    results = {}
     if not args.skip_train:
         loop.run()
     if not args.skip_test:
-        loop.test(splits=[s for s in loaders if s not in ("train", "validation")])
+        results = loop.test(
+            splits=[s for s in loaders if s not in ("train", "validation")]
+        )
+
+    from mmtpu.reports import ExperimentReportGenerator
+
+    ExperimentReportGenerator(
+        Path(cfg.logging.metrics_path) / "report", cfg.experiment.name
+    ).generate_report(
+        metrics_history=loop.metrics_history,
+        timing_history=loop.timing_history,
+        params=loop.state.params,
+        test_metrics=results,
+    )
     final = Path(cfg.logging.model_output_path) / f"encoder_{modality}_best.ckpt"
     console.success(f"encoder artifact: {final}")
     print(str(final))

@@ -40,7 +40,18 @@ def main(argv=None) -> int:
     common.apply_platform(args)
     cfg = common.load_config(args)
 
+    if cfg.experiment.cross_validation:
+        return main_cross_validation(cfg, args)
+    return run_single(cfg, args)
+
+
+def run_single(cfg, args, cv_no=None) -> int:
     clean_checkpoints(cfg.logging.model_output_path)
+    if cv_no is not None:
+        # reference main_cross_validation injects the fold number into every
+        # dataset's kwargs (train_multimodal.py:947)
+        for ds_cfg in cfg.data.datasets.values():
+            ds_cfg.kwargs["cv_no"] = cv_no
     loaders = cfg.data.build_all_loaders(
         is_train=cfg.experiment.is_train and not args.skip_train,
         is_test=cfg.experiment.is_test and not args.skip_test,
@@ -82,12 +93,14 @@ def main(argv=None) -> int:
         metrics_path=Path(cfg.logging.metrics_path),
         group_name=group,
         print_interval=cfg.experiment.train_print_interval_epochs,
+        monitor=common.make_monitor(cfg),
     )
 
     if args.dry_run or cfg.experiment.dry_run:
         console.success("dry run complete — config, data, model, state all built")
         return 0
 
+    results = {}
     if not args.skip_train and cfg.experiment.is_train:
         best = loop.run()
         console.success(f"training done; best: { {k: v for k, v in list(best.items())[:4]} }")
@@ -101,8 +114,66 @@ def main(argv=None) -> int:
             )
 
     # embeddings export for configured 'embeddings' split (reference :1176-1215)
+    embeddings_dir = None
     if "embeddings" in loaders and hasattr(model, "encode"):
-        _export_embeddings(cfg, model, loop.state, loaders["embeddings"], mods)
+        embeddings_dir = _export_embeddings(
+            cfg, model, loop.state, loaders["embeddings"], mods
+        )
+
+    from mmtpu.reports import ExperimentReportGenerator
+
+    ExperimentReportGenerator(
+        Path(cfg.logging.metrics_path) / "report", cfg.experiment.name
+    ).generate_report(
+        metrics_history=loop.metrics_history,
+        timing_history=loop.timing_history,
+        params=loop.state.params,
+        test_metrics=results,
+        embeddings_dir=embeddings_dir,
+    )
+    return 0
+
+
+def main_cross_validation(cfg, args) -> int:
+    """K-fold driver (reference: train_multimodal.py:920-1102): run each
+    fold with fold-scoped output dirs, then aggregate per-epoch means into
+    *_metrics_agg.json."""
+    import json
+
+    import numpy as np
+
+    folds = int(cfg.experiment.cross_validation)
+    base_metrics_path = Path(cfg.logging.metrics_path)
+    base_model_path = Path(cfg.logging.model_output_path)
+    fold_histories = []
+    for fold in range(1, folds + 1):
+        console.rule(f"fold {fold}/{folds}")
+        cfg.logging.metrics_path = str(base_metrics_path / f"fold_{fold}")
+        cfg.logging.model_output_path = str(base_model_path / f"fold_{fold}")
+        cfg.logging.create_directories()
+        run_single(cfg, args, cv_no=fold)
+        em = Path(cfg.logging.metrics_path) / "epoch_metrics.json"
+        if em.exists():
+            fold_histories.append(json.loads(em.read_text()))
+
+    # aggregate: mean over folds per epoch of every numeric leaf
+    agg = {}
+    if fold_histories:
+        n_epochs = min(len(h) for h in fold_histories)
+        for split in ("train", "validation"):
+            per_epoch = []
+            for e in range(n_epochs):
+                losses = [h[e][split]["loss"] for h in fold_histories]
+                per_epoch.append(
+                    {"epoch": e + 1, "loss_mean": float(np.mean(losses)),
+                     "loss_std": float(np.std(losses))}
+                )
+            agg[split] = per_epoch
+        (base_metrics_path / "epoch_metrics_agg.json").write_text(
+            json.dumps(agg, indent=4)
+        )
+    cfg.logging.metrics_path = str(base_metrics_path)
+    cfg.logging.model_output_path = str(base_model_path)
     return 0
 
 
@@ -138,6 +209,7 @@ def _export_embeddings(cfg, model, state, loader, mods) -> None:
     if labels:
         np.save(out_dir / "labels.npy", np.concatenate(labels))
     console.success(f"embeddings exported to {out_dir}")
+    return out_dir
 
 
 if __name__ == "__main__":

@@ -128,6 +128,7 @@ class BatchLoader:
                 if lengths is not None:
                     batch[f"{mod}_lengths"] = lengths[idx]
             batch["labels"] = ds.labels[idx]
+            batch["sample_idx"] = idx.astype(np.int32)
             batch["pattern_id"] = pids.astype(np.int32)
             batch["sample_mask"] = np.ones((real,), np.float32)
 

@@ -1,0 +1,79 @@
+"""BERT text encoder (reference: models/msa/networks/bert_text_encoder.py:13-79).
+
+Input layout preserved: (batch, 3, seq) rows = input_ids / attention_mask /
+token_type_ids; output = last hidden states (batch, seq, hidden).
+
+TPU-native: HF FlaxBertModel. `pretrained_path` loads local weights when the
+directory exists (the reference points at an unshipped local
+`pretrained_model/bert_en`); otherwise a freshly initialized BERT of the
+standard base config is used and a warning logged (zero-egress environment —
+no hub downloads).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from mmtpu.utils.logging import get_logger
+from mmtpu.utils.utils import format_path_with_env
+
+logger = get_logger()
+
+
+def _make_bert(pretrained_path: Optional[str], hidden_size: int = 768):
+    from transformers import BertConfig, FlaxBertModel
+
+    if pretrained_path:
+        path = Path(format_path_with_env(str(pretrained_path)))
+        if path.exists():
+            return FlaxBertModel.from_pretrained(str(path), from_pt=True)
+        logger.warning(
+            f"BERT pretrained path {path} not found — using random init"
+        )
+    config = BertConfig(hidden_size=hidden_size)
+    return FlaxBertModel(config)
+
+
+class BertTextEncoder(nn.Module):
+    language: str = "en"
+    use_finetune: bool = False
+    pretrained_path: str = "pretrained_model/bert_en"
+    hidden_size: int = 768
+
+    def get_embedding_size(self) -> int:
+        return self.hidden_size
+
+    def setup(self) -> None:
+        assert self.language in ("en", "cn")
+        hf = _make_bert(self.pretrained_path, self.hidden_size)
+        self._module = hf.module
+        self._hf_params = hf.params
+
+    @nn.compact
+    def __call__(self, text: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        input_ids = text[:, 0, :].astype(jnp.int32)
+        attention_mask = text[:, 1, :].astype(jnp.int32)
+        token_type_ids = text[:, 2, :].astype(jnp.int32)
+        params = self.param(
+            "bert", lambda rng: self._hf_params
+        ) if self.use_finetune else self.variable(
+            "frozen", "bert", lambda: self._hf_params
+        ).value
+        out = self._module.apply(
+            {"params": params},
+            input_ids=input_ids,
+            attention_mask=attention_mask,
+            token_type_ids=token_type_ids,
+            deterministic=True,
+        )
+        hidden = out.last_hidden_state
+        if not self.use_finetune:
+            hidden = jnp.asarray(hidden)
+            import jax
+
+            hidden = jax.lax.stop_gradient(hidden)
+        return hidden

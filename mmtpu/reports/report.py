@@ -1,0 +1,265 @@
+"""Experiment reports (reference: experiment_utils/experiment_report.py:195-755).
+
+Subreports:
+- MetricsReport (:308)  → train/validation/test_metrics.json with the
+  per-pattern split (`split_missing_conditions` :388),
+- TimingReport (:455)   → timing.csv (per-epoch phase durations),
+- ModelReport (:435)    → parameter counts / size,
+- EmbeddingVisualizationReport (:410) → PCA scatter of exported embeddings,
+- LatexReport (:195)    → report.tex assembling the above; compiled to PDF
+  when a LaTeX toolchain is present (graceful skip otherwise).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import shutil
+import subprocess
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from mmtpu.utils.logging import get_logger
+
+logger = get_logger()
+
+
+def split_missing_conditions(metrics: Dict[str, Any]) -> Dict[str, Dict[str, Any]]:
+    """Group flat metric keys by their trailing pattern suffix
+    (reference :388-408): 'accuracy_AI' → {'AI': {'accuracy': ...}}."""
+    out: Dict[str, Dict[str, Any]] = {}
+    for key, value in metrics.items():
+        if "_" not in key:
+            out.setdefault("overall", {})[key] = value
+            continue
+        base, suffix = key.rsplit("_", 1)
+        if suffix.isupper() and 1 <= len(suffix) <= 4:
+            out.setdefault(suffix, {})[base] = value
+        else:
+            out.setdefault("overall", {})[key] = value
+    return out
+
+
+class MetricsReport:
+    def __init__(self, output_dir: Path) -> None:
+        self.output_dir = Path(output_dir)
+
+    def generate(
+        self,
+        metrics_history: Dict[str, List[Dict[str, Any]]],
+        test_metrics: Optional[Dict[str, Dict[str, Any]]] = None,
+    ) -> Dict[str, str]:
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        written = {}
+        for split, history in metrics_history.items():
+            path = self.output_dir / f"{split}_metrics.json"
+            payload = [
+                {
+                    "epoch": i + 1,
+                    **m,
+                    "by_pattern": split_missing_conditions(
+                        {k: v for k, v in m.items() if isinstance(v, (int, float))}
+                    ),
+                }
+                for i, m in enumerate(history)
+            ]
+            path.write_text(json.dumps(_jsonable(payload), indent=4))
+            written[split] = str(path)
+        for split, metrics in (test_metrics or {}).items():
+            path = self.output_dir / f"{split}_metrics.json"
+            payload = {
+                **metrics,
+                "by_pattern": split_missing_conditions(
+                    {k: v for k, v in metrics.items() if isinstance(v, (int, float))}
+                ),
+            }
+            path.write_text(json.dumps(_jsonable(payload), indent=4))
+            written[split] = str(path)
+        return written
+
+
+class TimingReport:
+    def __init__(self, output_dir: Path) -> None:
+        self.output_dir = Path(output_dir)
+
+    def generate(self, timing_history: Dict[str, List[float]]) -> str:
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        path = self.output_dir / "timing.csv"
+        splits = [s for s in timing_history if timing_history[s]]
+        n = max((len(timing_history[s]) for s in splits), default=0)
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["epoch"] + [f"{s}_time_s" for s in splits])
+            for i in range(n):
+                w.writerow(
+                    [i + 1]
+                    + [
+                        round(timing_history[s][i], 4)
+                        if i < len(timing_history[s])
+                        else ""
+                        for s in splits
+                    ]
+                )
+        return str(path)
+
+
+class ModelReport:
+    def __init__(self, output_dir: Path) -> None:
+        self.output_dir = Path(output_dir)
+
+    def generate(self, params: Any) -> Dict[str, Any]:
+        import jax
+
+        leaves = jax.tree_util.tree_leaves(params)
+        total = int(sum(np.size(x) for x in leaves))
+        size_mb = sum(np.size(x) * np.dtype(np.asarray(x).dtype).itemsize for x in leaves) / 2**20
+        info = {"total_parameters": total, "size_mb": round(size_mb, 3)}
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        (self.output_dir / "model_info.json").write_text(json.dumps(info, indent=4))
+        return info
+
+
+class EmbeddingVisualizationReport:
+    def __init__(self, output_dir: Path) -> None:
+        self.output_dir = Path(output_dir)
+
+    def generate(self, embeddings_dir: Path) -> Optional[str]:
+        embeddings_dir = Path(embeddings_dir)
+        if not embeddings_dir.exists():
+            return None
+        labels_fp = embeddings_dir / "labels.npy"
+        labels = np.load(labels_fp) if labels_fp.exists() else None
+        paths = []
+        for npy in sorted(embeddings_dir.glob("*_embeddings.npy")):
+            emb = np.load(npy)
+            if emb.ndim != 2 or emb.shape[0] < 3:
+                continue
+            centered = emb - emb.mean(0)
+            _, _, vt = np.linalg.svd(centered, full_matrices=False)
+            pts = centered @ vt[:2].T
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots(figsize=(5, 4))
+            c = labels[: len(pts)] if labels is not None else None
+            if c is not None and c.ndim > 1:
+                c = c.argmax(-1)
+            sc = ax.scatter(pts[:, 0], pts[:, 1], c=c, s=4, cmap="tab10")
+            ax.set_title(npy.stem.replace("_embeddings", "") + " (PCA)")
+            out = self.output_dir / f"{npy.stem}_pca.png"
+            self.output_dir.mkdir(parents=True, exist_ok=True)
+            fig.savefig(out, dpi=120, bbox_inches="tight")
+            plt.close(fig)
+            paths.append(str(out))
+        return paths[0] if paths else None
+
+
+class LatexReport:
+    TEMPLATE = r"""\documentclass{article}
+\usepackage{booktabs,graphicx,geometry}
+\geometry{margin=1in}
+\title{%(title)s}
+\begin{document}
+\maketitle
+\section{Model}
+Total parameters: %(params)s (%(size)s MB)
+\section{Final Metrics}
+\begin{tabular}{lr}\toprule Metric & Value \\ \midrule
+%(metric_rows)s
+\bottomrule\end{tabular}
+\section{Timing}
+Mean train epoch: %(train_time)s s; mean validation epoch: %(val_time)s s.
+\end{document}
+"""
+
+    def __init__(self, output_dir: Path, title: str) -> None:
+        self.output_dir = Path(output_dir)
+        self.title = title
+
+    def generate(
+        self,
+        model_info: Dict[str, Any],
+        final_metrics: Dict[str, Any],
+        timing: Dict[str, List[float]],
+    ) -> str:
+        rows = "\n".join(
+            f"{k.replace('_', r'\_')} & {v:.4f} \\\\"
+            for k, v in sorted(final_metrics.items())
+            if isinstance(v, (int, float))
+        )
+        tex = self.TEMPLATE % {
+            "title": self.title.replace("_", r"\_"),
+            "params": model_info.get("total_parameters", "?"),
+            "size": model_info.get("size_mb", "?"),
+            "metric_rows": rows,
+            "train_time": round(float(np.mean(timing.get("train", [0]) or [0])), 2),
+            "val_time": round(float(np.mean(timing.get("validation", [0]) or [0])), 2),
+        }
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        tex_path = self.output_dir / "report.tex"
+        tex_path.write_text(tex)
+        if shutil.which("pdflatex"):
+            try:
+                subprocess.run(
+                    ["pdflatex", "-interaction=nonstopmode", tex_path.name],
+                    cwd=self.output_dir, capture_output=True, timeout=120,
+                )
+            except Exception as e:  # pragma: no cover
+                logger.warning(f"pdflatex failed: {e}")
+        else:
+            logger.info("pdflatex not available; emitted report.tex only")
+        return str(tex_path)
+
+
+class ExperimentReportGenerator:
+    """Runs all subreports (reference generate_report :481)."""
+
+    def __init__(self, output_dir: str | Path, experiment_name: str) -> None:
+        self.output_dir = Path(output_dir)
+        self.experiment_name = experiment_name
+
+    def generate_report(
+        self,
+        *,
+        metrics_history: Dict[str, List[Dict[str, Any]]],
+        timing_history: Dict[str, List[float]],
+        params: Any,
+        test_metrics: Optional[Dict[str, Dict[str, Any]]] = None,
+        embeddings_dir: Optional[Path] = None,
+    ) -> Dict[str, Any]:
+        out: Dict[str, Any] = {}
+        out["metrics"] = MetricsReport(self.output_dir).generate(
+            metrics_history, test_metrics
+        )
+        out["timing"] = TimingReport(self.output_dir).generate(timing_history)
+        model_info = ModelReport(self.output_dir).generate(params)
+        out["model"] = model_info
+        if embeddings_dir is not None:
+            out["embedding_plot"] = EmbeddingVisualizationReport(
+                self.output_dir
+            ).generate(embeddings_dir)
+        final = {}
+        for hist in metrics_history.get("validation", [])[-1:]:
+            final = {k: v for k, v in hist.items() if isinstance(v, (int, float))}
+        out["latex"] = LatexReport(self.output_dir, self.experiment_name).generate(
+            model_info, final, timing_history
+        )
+        return out
+
+
+def _jsonable(obj: Any) -> Any:
+    if isinstance(obj, dict):
+        return {str(k): _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, np.integer):
+        return int(obj)
+    if isinstance(obj, np.floating):
+        return float(obj)
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    return obj

@@ -71,6 +71,7 @@ class TrainLoop:
         print_interval: int = 1,
         record_fn: Optional[Callable] = None,
         step_builders: Optional[Any] = None,
+        monitor=None,
     ) -> None:
         self.task = task
         self.state = state
@@ -87,13 +88,20 @@ class TrainLoop:
         self.on_best = on_best
         self.print_interval = print_interval
 
+        self.monitor = monitor
         if step_builders is not None:
             make_train, make_eval = step_builders
             self.train_step = make_train(task)
             self.eval_step = make_eval(task)
+            self.train_step_monitored = None
         else:
             self.train_step = make_train_step(task, mesh=mesh)
             self.eval_step = make_eval_step(task, mesh=mesh)
+            self.train_step_monitored = (
+                make_train_step(task, mesh=mesh, with_grad_stats=True)
+                if monitor is not None
+                else None
+            )
         self._record = record_fn or self._default_record
         self.epoch_metrics: List[Dict[str, Any]] = []
         self.timing_history: Dict[str, List[float]] = {"train": [], "validation": []}
@@ -115,11 +123,34 @@ class TrainLoop:
         vocab = loader.pattern_vocab
         losses = []
         t0 = time.time()
+        mon = self.monitor
+        if mon is not None:
+            mon.start_epoch(epoch)
         for batch in self._device_batches(loader):
             self._rng, step_rng = jax.random.split(self._rng)
-            self.state, out = self.train_step(self.state, batch, step_rng)
+            if mon is not None:
+                mon.step()
+            if (
+                mon is not None
+                and self.train_step_monitored is not None
+                and mon.want_gradients
+            ):
+                self.state, out = self.train_step_monitored(
+                    self.state, batch, step_rng
+                )
+                mon.record_gradients(out.pop("grad_stats"))
+            else:
+                self.state, out = self.train_step(self.state, batch, step_rng)
+            if mon is not None and mon.want_activations:
+                inputs = [batch[k] for k in getattr(self.task, "input_keys", [])]
+                if inputs:
+                    mon.record_activations(
+                        self.task.model, self.state.variables, inputs
+                    )
             losses.append(out["loss"])
             self._record(self.recorder, out, vocab)
+        if mon is not None:
+            mon.end_epoch(self.state)
         jax.block_until_ready(self.state.params)
         self.timing_history["train"].append(time.time() - t0)
         return float(np.mean(jax.device_get(losses)))

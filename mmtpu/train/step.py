@@ -72,8 +72,14 @@ def make_train_step(
     task: ClassificationTask,
     mesh=None,
     donate: bool = True,
+    with_grad_stats: bool = False,
 ) -> Callable:
-    """Build the jitted train step: (state, batch, rng) → (state, out)."""
+    """Build the jitted train step: (state, batch, rng) → (state, out).
+
+    with_grad_stats=True additionally returns per-layer gradient stats
+    (l2/mean/std/min/max scalars) for the monitoring subsystem — still a
+    single compiled program.
+    """
 
     def step(state: TrainState, batch: Dict[str, Any], rng) -> Any:
         sample_mask = batch.get("sample_mask")
@@ -117,6 +123,10 @@ def make_train_step(
             out["pattern_id"] = batch["pattern_id"]
         if sample_mask is not None:
             out["sample_mask"] = sample_mask
+        if with_grad_stats:
+            from mmtpu.monitor.monitor import tree_stats
+
+            out["grad_stats"] = tree_stats(grads)
         return new_state, out
 
     donate_argnums = (0,) if donate else ()

@@ -1,0 +1,133 @@
+"""Self-MM algorithm tests: manager pytree, label refinement, train step."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmtpu.config.optim import OptimizerConfig
+from mmtpu.models.self_mm import AuViSubNet, Self_MM
+from mmtpu.train.managers import ManagerState
+from mmtpu.train.optim import build_optimizer
+from mmtpu.train.self_mm_step import (
+    SelfMMTask,
+    init_manager_labels,
+    make_self_mm_eval_step,
+    make_self_mm_train_step,
+)
+from mmtpu.train.state import TrainState
+
+RNG = jax.random.PRNGKey(0)
+
+
+class TinyText(nn.Module):
+    """Stand-in for BertTextEncoder: (B, 3, seq) → (B, seq, 16)."""
+
+    @nn.compact
+    def __call__(self, text, train=False):
+        ids = text[:, 0, :, None].astype(jnp.float32)
+        return nn.Dense(16)(ids)
+
+
+def make_batch(B=6, N=32):
+    rng = np.random.default_rng(0)
+    labels = rng.uniform(-3, 3, B).astype(np.float32)
+    text = np.ones((B, 3, 10), np.float32)
+    text[:, 1, :] = 1.0  # full attention mask
+    return {
+        "audio": jnp.asarray(rng.normal(size=(B, 10, 4)), jnp.float32),
+        "video": jnp.asarray(rng.normal(size=(B, 10, 8)), jnp.float32),
+        "text": jnp.asarray(text),
+        "labels": jnp.asarray(labels),
+        "sample_idx": jnp.arange(B, dtype=jnp.int32),
+        "pattern_id": jnp.zeros((B,), jnp.int32),
+        "sample_mask": jnp.ones((B,)),
+    }
+
+
+def build():
+    model = Self_MM(
+        audio_encoder=AuViSubNet(4, 8, 12, dropout=0.0),
+        video_encoder=AuViSubNet(8, 8, 12, dropout=0.0),
+        text_encoder=TinyText(),
+        need_data_aligned=False,
+        audio_out=12, video_out=12, text_out=16,
+        post_fusion_dropout=0.0, post_fusion_dim=24,
+        post_text_dropout=0.0, post_text_dim=8,
+        post_audio_dropout=0.0, post_audio_dim=8,
+        post_video_dropout=0.0, post_video_dim=8,
+    )
+    batch = make_batch()
+    variables = model.init(
+        {"params": RNG},
+        (batch["audio"], None), (batch["video"], None), batch["text"],
+        train=False,
+    )
+    tx, _ = build_optimizer(
+        OptimizerConfig(name="Adam", default_kwargs={"lr": 1e-3}),
+        variables["params"],
+    )
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}), tx=tx,
+    )
+    managers = ManagerState.create(
+        num_samples=32,
+        modality_dims={"multimodal": 24, "audio": 8, "video": 8, "text": 8},
+    )
+    task = SelfMMTask(model=model, need_data_aligned=False)
+    return task, state, managers, batch
+
+
+def test_forward_output_structure():
+    task, state, _, batch = build()
+    out = task.apply(state.variables, batch, train=False)
+    assert set(out) == {"predictions", "features", "features_pre_activation"}
+    assert out["predictions"]["multimodal"].shape == (6, 1)
+    assert out["features"]["audio"].shape == (6, 8)
+
+
+def test_label_init_and_refinement():
+    task, state, managers, batch = build()
+    managers = managers.init_labels(batch["sample_idx"], batch["labels"])
+    np.testing.assert_allclose(
+        np.asarray(managers.labels["audio"][:6]), np.asarray(batch["labels"]),
+        rtol=1e-6,
+    )
+    step = make_self_mm_train_step(task)
+    # epoch 1: no refinement — unimodal labels stay equal to fusion labels
+    state, managers, out = step(state, managers, batch, RNG, jnp.asarray(1))
+    np.testing.assert_allclose(
+        np.asarray(managers.labels["audio"][:6]),
+        np.asarray(managers.labels["multimodal"][:6]),
+    )
+    # epoch 2: refinement kicks in and diverges unimodal labels
+    state, managers, out = step(state, managers, batch, RNG, jnp.asarray(2))
+    assert not np.allclose(
+        np.asarray(managers.labels["audio"][:6]),
+        np.asarray(managers.labels["multimodal"][:6]),
+    )
+    # clamped to ±H
+    assert np.all(np.abs(np.asarray(managers.labels["audio"])) <= task.H + 1e-6)
+
+
+def test_loss_decreases():
+    task, state, managers, batch = build()
+    managers = managers.init_labels(batch["sample_idx"], batch["labels"])
+    step = make_self_mm_train_step(task)
+    first = None
+    for k in range(30):
+        state, managers, out = step(
+            state, managers, batch, jax.random.fold_in(RNG, k), jnp.asarray(1)
+        )
+        if first is None:
+            first = float(out["loss"])
+    assert float(out["loss"]) < first
+
+
+def test_eval_step():
+    task, state, managers, batch = build()
+    ev = make_self_mm_eval_step(task)
+    out = ev(state, batch)
+    assert out["preds"].shape == (6,)
+    assert np.isfinite(float(out["loss"]))
