@@ -1,0 +1,198 @@
+"""RedCore training step with on-device adaptive β weighting.
+
+Reference (models/msa/redcore.py:153-300): CE on the fused + 3 aux
+classifiers, KLD terms over the VAE posteriors gated by the missing index,
+masked MSE between generated and true features with an EMA of per-modality
+losses driving the adaptive β rebalance every `interval_i` steps (η grows
+×eta_ext every 500 steps). The reference keeps β/EMAs as Python floats
+(one host sync per step); here they ride in a `RedCoreSchedState` pytree so
+the whole schedule compiles into the step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from mmtpu.train.losses import LossFunctionGroup
+from mmtpu.train.state import TrainState
+
+
+class RedCoreSchedState(struct.PyTreeNode):
+    loss_ema: jnp.ndarray   # (3,) per-modality EMA
+    beta: jnp.ndarray       # (3,)
+    eta: jnp.ndarray        # scalar
+    iter_count: jnp.ndarray  # scalar int
+
+    @classmethod
+    def create(cls) -> "RedCoreSchedState":
+        return cls(
+            loss_ema=jnp.zeros((3,), jnp.float32),
+            beta=jnp.ones((3,), jnp.float32),
+            eta=jnp.asarray(0.001, jnp.float32),
+            iter_count=jnp.zeros((), jnp.int32),
+        )
+
+
+@dataclasses.dataclass
+class RedCoreTask:
+    model: Any
+    loss_group: LossFunctionGroup
+    loss_beta: float = 0.95
+    interval_i: int = 2
+    eta_ext: float = 1.5
+    lambda_one: float = 0.0008
+    label_key: str = "labels"
+
+
+def _masked(batch, mod):
+    x = batch[mod]
+    mask = batch.get(f"{mod}_mask")
+    if mask is None:
+        return x
+    return x * mask.reshape(mask.shape[0], *([1] * (x.ndim - 1)))
+
+
+def make_redcore_train_step(task: RedCoreTask) -> Callable:
+    def step(
+        state: TrainState,
+        sched: RedCoreSchedState,
+        batch: Dict[str, Any],
+        rng,
+    ):
+        iA = batch.get("audio_mask", jnp.ones(batch["labels"].shape[0]))
+        iV = batch.get("video_mask", jnp.ones_like(iA))
+        iT = batch.get("text_mask", jnp.ones_like(iA))
+        B = iA.shape[0]
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            out = state.apply_fn(
+                variables,
+                _masked(batch, "audio"), _masked(batch, "video"),
+                _masked(batch, "text"),
+                iA, iV, iT,
+                train=True,
+                rngs={"dropout": rng, "sample": jax.random.fold_in(rng, 1)},
+                mutable=["batch_stats"] if state.batch_stats else False,
+            )
+            if state.batch_stats:
+                res, updates = out
+                new_stats = updates["batch_stats"]
+            else:
+                res, new_stats = out, state.batch_stats
+
+            lf = task.loss_group
+            labels = batch[task.label_key]
+            ce = lf(res["logits"], labels, key="cross_entropy")["total_loss"]
+            ce_A = lf(res["logits_A"], labels, key="cross_entropy")["total_loss"]
+            ce_V = lf(res["logits_V"], labels, key="cross_entropy")["total_loss"]
+            ce_T = lf(res["logits_T"], labels, key="cross_entropy")["total_loss"]
+
+            def kld(mu, lv, idx):
+                return (
+                    -task.lambda_one
+                    * jnp.sum((1.0 + lv - mu**2 - jnp.exp(lv)) * idx[:, None])
+                    / B
+                )
+
+            kld_total = (
+                kld(res["fmu_A"], res["flog_var_A"], iA)
+                + kld(res["fmu_V"], res["flog_var_V"], iV)
+                + kld(res["fmu_T"], res["flog_var_T"], iT)
+            )
+
+            def masked_mse(gen, feat, idx):
+                diff = (gen - feat) * idx[:, None]
+                denom = jnp.maximum(jnp.sum(idx), 1.0)
+                return jnp.mean(diff**2) / denom
+
+            mse_A = masked_mse(res["gen_A"], res["feature_A_miss"], iA)
+            mse_V = masked_mse(res["gen_V"], res["feature_V_miss"], iV)
+            mse_T = masked_mse(res["gen_T"], res["feature_T_miss"], iT)
+
+            mse_weight = (
+                task.loss_group["mse"].weight if "mse" in task.loss_group else 1.0
+            )
+            loss_mse = mse_weight * (
+                sched.beta[0] * mse_A + sched.beta[1] * mse_V + sched.beta[2] * mse_T
+            )
+            total = ce + kld_total + ce_A + ce_V + ce_T + loss_mse
+            return total, (res, new_stats, jnp.stack([mse_A, mse_V, mse_T]), ce)
+
+        (loss, (res, new_stats, mse_vec, ce)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+
+        # -- adaptive β schedule (on device) ---------------------------------
+        b = task.loss_beta
+        upd = jnp.where(mse_vec != 0.0, mse_vec, sched.loss_ema)
+        ema = (1.0 - b) * sched.loss_ema + b * upd
+        eta = jnp.where(
+            sched.iter_count % 500 == 0, sched.eta * task.eta_ext, sched.eta
+        )
+        total3 = jnp.sum(ema)
+        avg3 = total3 / 3.0
+        ra = (avg3 - total3) / jnp.maximum(avg3, 1e-12)
+
+        def rebalance(beta):
+            nb = jnp.maximum(beta * eta * ra, 0.1)
+            return nb / jnp.linalg.norm(nb)
+
+        beta = jnp.where(
+            sched.iter_count % task.interval_i == 0,
+            rebalance(sched.beta),
+            sched.beta,
+        )
+        new_sched = sched.replace(
+            loss_ema=ema, beta=beta, eta=eta, iter_count=sched.iter_count + 1
+        )
+
+        out = {
+            "loss": loss,
+            "preds": jnp.argmax(res["logits"], axis=-1),
+            "labels": batch[task.label_key],
+        }
+        for k in ("pattern_id", "sample_mask"):
+            if k in batch:
+                out[k] = batch[k]
+        return new_state, new_sched, out
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def make_redcore_eval_step(task: RedCoreTask) -> Callable:
+    def step(state: TrainState, batch: Dict[str, Any]):
+        iA = batch.get("audio_mask", jnp.ones(batch["labels"].shape[0]))
+        iV = batch.get("video_mask", jnp.ones_like(iA))
+        iT = batch.get("text_mask", jnp.ones_like(iA))
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        res = state.apply_fn(
+            variables,
+            _masked(batch, "audio"), _masked(batch, "video"), _masked(batch, "text"),
+            iA, iV, iT, train=False,
+        )
+        labels = batch[task.label_key]
+        loss = task.loss_group(res["logits"], labels, key="cross_entropy")[
+            "total_loss"
+        ]
+        out = {
+            "loss": loss,
+            "preds": jnp.argmax(res["logits"], axis=-1),
+            "labels": labels,
+        }
+        for k in ("pattern_id", "sample_mask"):
+            if k in batch:
+                out[k] = batch[k]
+        return out
+
+    return jax.jit(step)
