@@ -1,0 +1,145 @@
+"""Post-hoc plots (reference: results_processing/plotting.py:625-1046,
+avmnist_comparison.py:17-290): training curves, pretrained-vs-scratch
+comparisons, confusion matrices, embedding projections."""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+
+def plot_metric_curves(
+    histories: Dict[str, List[Dict[str, Any]]],
+    metric: str,
+    split: str = "validation",
+    out: str | Path = "metric_curves.png",
+) -> str:
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for label, history in histories.items():
+        ys = []
+        for e in history:
+            v = e[split].get("metrics", {}).get(metric)
+            if v is None:
+                for pat, m in e[split].items():
+                    if isinstance(m, dict) and metric in m:
+                        v = m[metric]
+                        break
+            ys.append(v)
+        ax.plot(range(1, len(ys) + 1), ys, marker="o", ms=3, label=label)
+    ax.set_xlabel("epoch")
+    ax.set_ylabel(metric)
+    ax.legend()
+    ax.grid(alpha=0.3)
+    fig.savefig(out, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return str(out)
+
+
+def plot_loss_curves(
+    histories: Dict[str, List[Dict[str, Any]]],
+    out: str | Path = "loss_curves.png",
+) -> str:
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for label, history in histories.items():
+        ax.plot(
+            [e["train"]["loss"] for e in history], label=f"{label} train", ls="-"
+        )
+        ax.plot(
+            [e["validation"]["loss"] for e in history],
+            label=f"{label} val", ls="--",
+        )
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("loss")
+    ax.legend()
+    ax.grid(alpha=0.3)
+    fig.savefig(out, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return str(out)
+
+
+def plot_confusion_matrix(
+    cm: np.ndarray,
+    labels: Optional[Sequence[str]] = None,
+    out: str | Path = "confusion.png",
+    normalize: bool = True,
+) -> str:
+    cm = np.asarray(cm, float)
+    if normalize:
+        cm = cm / np.maximum(cm.sum(axis=1, keepdims=True), 1)
+    fig, ax = plt.subplots(figsize=(5, 4.5))
+    im = ax.imshow(cm, cmap="Blues")
+    fig.colorbar(im)
+    n = cm.shape[0]
+    ticks = labels if labels is not None else [str(i) for i in range(n)]
+    ax.set_xticks(range(n), ticks, rotation=45)
+    ax.set_yticks(range(n), ticks)
+    for i in range(n):
+        for j in range(n):
+            ax.text(
+                j, i, f"{cm[i, j]:.2f}", ha="center", va="center",
+                color="white" if cm[i, j] > cm.max() / 2 else "black", fontsize=7,
+            )
+    ax.set_xlabel("predicted")
+    ax.set_ylabel("true")
+    fig.savefig(out, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return str(out)
+
+
+def plot_pattern_comparison(
+    metrics_by_experiment: Dict[str, Dict[str, float]],
+    metric_prefix: str,
+    out: str | Path = "pattern_comparison.png",
+) -> str:
+    """Grouped bars of `{prefix}_{PATTERN}` values per experiment
+    (the per-pattern robustness view, reference plotting.py:625+)."""
+    patterns = sorted(
+        {
+            k.rsplit("_", 1)[1]
+            for m in metrics_by_experiment.values()
+            for k in m
+            if k.startswith(metric_prefix) and k.rsplit("_", 1)[1].isupper()
+        }
+    )
+    fig, ax = plt.subplots(figsize=(6, 4))
+    width = 0.8 / max(len(metrics_by_experiment), 1)
+    for i, (label, metrics) in enumerate(metrics_by_experiment.items()):
+        vals = [metrics.get(f"{metric_prefix}_{p}", np.nan) for p in patterns]
+        ax.bar(np.arange(len(patterns)) + i * width, vals, width, label=label)
+    ax.set_xticks(np.arange(len(patterns)) + width / 2, patterns)
+    ax.set_ylabel(metric_prefix)
+    ax.legend()
+    ax.grid(alpha=0.3, axis="y")
+    fig.savefig(out, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return str(out)
+
+
+def plot_embeddings_projection(
+    embeddings: np.ndarray,
+    labels: Optional[np.ndarray] = None,
+    method: str = "pca",
+    out: str | Path = "embeddings.png",
+) -> str:
+    """PCA / t-SNE projection (reference plotting.py:625-1046)."""
+    if method == "tsne":
+        from sklearn.manifold import TSNE
+
+        pts = TSNE(n_components=2, init="pca", perplexity=min(30, len(embeddings) - 1)).fit_transform(embeddings)
+    else:
+        centered = embeddings - embeddings.mean(0)
+        _, _, vt = np.linalg.svd(centered, full_matrices=False)
+        pts = centered @ vt[:2].T
+    fig, ax = plt.subplots(figsize=(5, 4))
+    ax.scatter(pts[:, 0], pts[:, 1], c=labels, s=5, cmap="tab10")
+    ax.set_title(f"{method.upper()} projection")
+    fig.savefig(out, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return str(out)

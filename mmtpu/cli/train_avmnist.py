@@ -1,0 +1,41 @@
+"""AVMNIST-specialized training entry point (reference: train_avmnist.py).
+
+Identical to train_multimodal except the `epoch_metrics.json` structure:
+every pattern-suffixed metric is nested under its pattern key (AI/A/I),
+matching the restructuring at reference train_avmnist.py:595-860 that the
+avmnist_comparison post-hoc scripts parse.
+
+    python -m mmtpu.cli.train_avmnist --config X.yaml --run_id N [...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+from mmtpu.cli import common, train_multimodal
+from mmtpu.train import loop as loop_mod
+
+
+def main(argv=None) -> int:
+    args = common.standard_arg_parser(__doc__).parse_args(argv)
+    common.apply_platform(args)
+    cfg = common.load_config(args)
+
+    # Route through the generic driver with the AVMNIST JSON nesting.
+    original_init = loop_mod.TrainLoop.__init__
+
+    def patched_init(self, **kwargs):
+        kwargs.setdefault("json_nesting", "avmnist")
+        original_init(self, **kwargs)
+
+    loop_mod.TrainLoop.__init__ = patched_init
+    try:
+        if cfg.experiment.cross_validation:
+            return train_multimodal.main_cross_validation(cfg, args)
+        return train_multimodal.run_single(cfg, args)
+    finally:
+        loop_mod.TrainLoop.__init__ = original_init
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -33,8 +33,10 @@ logger = get_logger()
 console = get_console()
 
 
-def _nest_epoch_metrics(flat: Dict[str, Any]) -> Dict[str, Any]:
-    """Reference JSON nesting (:640-729): f1_*/MSA_* under pattern keys."""
+def _nest_epoch_metrics(flat: Dict[str, Any], style: str = "reference") -> Dict[str, Any]:
+    """Reference JSON nesting (train_multimodal.py:640-729): f1_*/MSA_* keys
+    under their pattern; style='avmnist' nests EVERY pattern-suffixed metric
+    under its pattern key (train_avmnist.py:595-860 variant)."""
     out: Dict[str, Any] = {}
     for key, value in flat.items():
         if key == "loss" or not isinstance(value, (int, float)):
@@ -45,6 +47,9 @@ def _nest_epoch_metrics(flat: Dict[str, Any]) -> Dict[str, Any]:
             out.setdefault(pattern, {})[metric] = value
         elif key.startswith("f1_") and len(parts) >= 3:
             metric, pattern = "_".join(parts[:2]), parts[2]
+            out.setdefault(pattern, {})[metric] = value
+        elif style == "avmnist" and parts[-1].isupper() and 1 <= len(parts[-1]) <= 4:
+            metric, pattern = "_".join(parts[:-1]), parts[-1]
             out.setdefault(pattern, {})[metric] = value
         else:
             out.setdefault("metrics", {})[key] = value
@@ -72,7 +77,9 @@ class TrainLoop:
         record_fn: Optional[Callable] = None,
         step_builders: Optional[Any] = None,
         monitor=None,
+        json_nesting: str = "reference",
     ) -> None:
+        self.json_nesting = json_nesting
         self.task = task
         self.state = state
         self.loaders = loaders
@@ -214,7 +221,7 @@ class TrainLoop:
                         "total_time": self.timing_history["train"][-1],
                         "avg_batch_time": self.timing_history["train"][-1] / n_train,
                     },
-                    **_nest_epoch_metrics(train_metrics),
+                    **_nest_epoch_metrics(train_metrics, self.json_nesting),
                 },
                 "validation": {
                     "loss": val_loss,
@@ -222,7 +229,7 @@ class TrainLoop:
                         "total_time": self.timing_history["validation"][-1],
                         "avg_batch_time": self.timing_history["validation"][-1] / n_val,
                     },
-                    **_nest_epoch_metrics(val_metrics),
+                    **_nest_epoch_metrics(val_metrics, self.json_nesting),
                 },
             }
             self.epoch_metrics.append(epoch_entry)
