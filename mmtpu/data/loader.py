@@ -62,6 +62,7 @@ class BatchLoader:
         it = self._epoch_batches()
         if self.prefetch <= 0:
             yield from it
+            self.epoch += 1
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()

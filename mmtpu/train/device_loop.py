@@ -1,0 +1,187 @@
+"""Device-resident dataset training: one compiled `lax.scan` per epoch.
+
+Motivation: on this system host→device traffic rides a network tunnel, so
+per-step batch transfer dominates wall time (measured ~120 ms/step vs
+~3 ms/step compute for AVMNIST ResNet fusion). The reference's datasets are
+small (AVMNIST train split ≈ 360 MB fp32), so the TPU-native answer is to
+upload the WHOLE split to HBM once and compile the epoch:
+
+- per epoch the host sends only the schedule: sample order, pattern ids and
+  keep-masks — (steps, batch) scalars, ~0.5 MB,
+- the epoch is one dispatch: lax.scan gathers each batch from the resident
+  arrays, applies masks, runs the same loss/update as the per-step path,
+- outputs (loss, preds, labels, pattern ids) come back stacked in one
+  transfer for epoch-end metric finalization.
+
+Enabled automatically when the split fits the byte budget (see TrainLoop
+integration); semantics are identical to the streaming path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmtpu.modalities import Modality
+from mmtpu.train.state import TrainState
+from mmtpu.train.step import ClassificationTask, self_loss_per_sample
+
+DEFAULT_BUDGET_BYTES = 4 * 2**30  # 4 GiB of HBM for resident data
+
+
+def dataset_nbytes(dataset) -> int:
+    return int(
+        sum(a.nbytes for a in dataset.arrays.values()) + dataset.labels.nbytes
+    )
+
+
+@dataclasses.dataclass
+class DeviceResidentData:
+    arrays: Dict[str, jnp.ndarray]
+    labels: jnp.ndarray
+
+    @classmethod
+    def upload(cls, dataset) -> "DeviceResidentData":
+        return cls(
+            arrays={
+                str(m): jax.device_put(a) for m, a in dataset.arrays.items()
+            },
+            labels=jax.device_put(dataset.labels),
+        )
+
+
+def _gather_batch(data: DeviceResidentData, xs: Dict[str, jnp.ndarray]):
+    idx = xs["idx"]
+    batch: Dict[str, jnp.ndarray] = {
+        mod: arr[idx] for mod, arr in data.arrays.items()
+    }
+    for key, val in xs.items():
+        if key != "idx":
+            batch[key] = val
+    batch["labels"] = data.labels[idx]
+    batch["sample_idx"] = idx
+    return batch
+
+
+def make_scan_train_epoch(task: ClassificationTask, data: DeviceResidentData):
+    def epoch_fn(state: TrainState, schedule: Dict[str, jnp.ndarray], rng):
+        def body(carry, xs):
+            state, rng = carry
+            rng, step_rng = jax.random.split(rng)
+            batch = _gather_batch(data, xs)
+            sample_mask = batch.get("sample_mask")
+
+            def loss_fn(params):
+                variables = {"params": params}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                out = task.apply(
+                    variables, batch, train=True, rngs={"dropout": step_rng},
+                    mutable=["batch_stats"] if state.batch_stats else False,
+                )
+                if state.batch_stats:
+                    logits, updates = out
+                    new_stats = updates["batch_stats"]
+                else:
+                    logits, new_stats = out, state.batch_stats
+                if sample_mask is not None:
+                    per = self_loss_per_sample(task, logits, batch)
+                    loss = jnp.sum(per * sample_mask) / jnp.maximum(
+                        jnp.sum(sample_mask), 1.0
+                    )
+                else:
+                    loss = task.loss(logits, batch)
+                return loss, (logits, new_stats)
+
+            (loss, (logits, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+            ys = {
+                "loss": loss,
+                "preds": task.predictions(logits),
+                "labels": batch["labels"],
+                "pattern_id": xs.get("pattern_id"),
+                "sample_mask": sample_mask,
+            }
+            return (state, rng), ys
+
+        (state, _), outs = jax.lax.scan(body, (state, rng), schedule)
+        return state, outs
+
+    return jax.jit(epoch_fn, donate_argnums=(0,))
+
+
+def make_scan_eval_epoch(task: ClassificationTask, data: DeviceResidentData):
+    def epoch_fn(state: TrainState, schedule: Dict[str, jnp.ndarray]):
+        def body(carry, xs):
+            batch = _gather_batch(data, xs)
+            logits = task.apply(state.variables, batch, train=False)
+            sample_mask = batch.get("sample_mask")
+            per = self_loss_per_sample(task, logits, batch)
+            if sample_mask is not None:
+                loss = jnp.sum(per * sample_mask) / jnp.maximum(
+                    jnp.sum(sample_mask), 1.0
+                )
+            else:
+                loss = jnp.mean(per)
+            ys = {
+                "loss": loss,
+                "preds": task.predictions(logits),
+                "labels": batch["labels"],
+                "pattern_id": xs.get("pattern_id"),
+                "sample_mask": sample_mask,
+            }
+            return carry, ys
+
+        _, outs = jax.lax.scan(body, None, schedule)
+        return outs
+
+    return jax.jit(epoch_fn)
+
+
+def build_schedule(
+    dataset, batch_size: int, epoch: int, shuffle: bool, seed: int, split: str
+) -> Dict[str, np.ndarray]:
+    """Host-side epoch schedule: (steps, batch) index/pattern/mask arrays —
+    identical ordering semantics to BatchLoader._epoch_batches."""
+    vocab = dataset.pattern_vocab()
+    mods = list(dataset.AVAILABLE_MODALITIES.values())
+    if split == "train":
+        order = np.arange(dataset.num_samples)
+        if shuffle:
+            rng = np.random.default_rng((seed, epoch, 0x5EED))
+            rng.shuffle(order)
+        pattern_of = dataset.train_schedule(epoch)[order]
+        sample_idx = order
+    else:
+        n = dataset.num_samples
+        sample_idx = np.tile(np.arange(n), len(vocab))
+        pattern_of = np.repeat(np.arange(len(vocab)), n)
+
+    total = sample_idx.shape[0]
+    steps = -(-total // batch_size)
+    padded = steps * batch_size
+    pad = padded - total
+    sample_mask = np.ones(padded, np.float32)
+    if pad:
+        sample_idx = np.concatenate([sample_idx, np.zeros(pad, sample_idx.dtype)])
+        pattern_of = np.concatenate([pattern_of, np.zeros(pad, pattern_of.dtype)])
+        sample_mask[total:] = 0.0
+
+    schedule: Dict[str, np.ndarray] = {
+        "idx": sample_idx.reshape(steps, batch_size).astype(np.int32),
+        "pattern_id": pattern_of.reshape(steps, batch_size).astype(np.int32),
+        "sample_mask": sample_mask.reshape(steps, batch_size),
+    }
+    for mod in mods:
+        if dataset.target_modality not in (Modality.MULTIMODAL, mod):
+            continue
+        mask = dataset.mask_stack(mod)[pattern_of[:total], sample_idx[:total]]
+        mask = np.concatenate([mask, np.zeros(pad, np.float32)]) if pad else mask
+        schedule[f"{mod}_mask"] = mask.reshape(steps, batch_size).astype(np.float32)
+    return schedule

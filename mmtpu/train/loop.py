@@ -78,6 +78,7 @@ class TrainLoop:
         step_builders: Optional[Any] = None,
         monitor=None,
         json_nesting: str = "reference",
+        device_resident: str = "auto",
     ) -> None:
         self.json_nesting = json_nesting
         self.task = task
@@ -110,6 +111,37 @@ class TrainLoop:
                 else None
             )
         self._record = record_fn or self._default_record
+
+        # -- device-resident mode: whole split in HBM + one scan per epoch
+        # (see mmtpu/train/device_loop.py). Streaming fallback when the data
+        # exceeds the budget, a custom task is used, or monitoring needs
+        # per-step capture.
+        self._scan: Dict[str, Any] = {}
+        if (
+            device_resident in ("auto", "on")
+            and step_builders is None
+            and record_fn is None
+            and monitor is None
+        ):
+            from mmtpu.train import device_loop as dl
+
+            budget = dl.DEFAULT_BUDGET_BYTES
+            for split, loader in loaders.items():
+                ds = getattr(loader, "dataset", None)
+                if ds is None or not getattr(ds, "arrays", None):
+                    continue
+                if device_resident == "auto" and dl.dataset_nbytes(ds) > budget:
+                    continue
+                data = dl.DeviceResidentData.upload(ds)
+                fn = (
+                    dl.make_scan_train_epoch(task, data)
+                    if split == "train"
+                    else dl.make_scan_eval_epoch(task, data)
+                )
+                self._scan[split] = (fn, ds, loader.batch_size,
+                                     getattr(loader, "shuffle", False),
+                                     getattr(loader, "seed", 0))
+
         self.epoch_metrics: List[Dict[str, Any]] = []
         self.timing_history: Dict[str, List[float]] = {"train": [], "validation": []}
         self.metrics_history: Dict[str, List[Dict[str, Any]]] = {
@@ -125,7 +157,46 @@ class TrainLoop:
 
         return DevicePrefetcher(loader, mesh=self.mesh)
 
+    def _scan_epoch(self, split: str, epoch: int) -> float:
+        """Device-resident path: one dispatch per epoch."""
+        from mmtpu.train import device_loop as dl
+
+        fn, ds, batch_size, shuffle, seed = self._scan[split]
+        vocab = ds.pattern_vocab()
+        t0 = time.time()
+        # streaming BatchLoader counts epochs from 0 — keep the seeded
+        # shuffle/pattern draws identical between the two paths
+        schedule = jax.device_put(
+            dl.build_schedule(ds, batch_size, max(epoch - 1, 0), shuffle, seed, ds.split)
+        )
+        if split == "train":
+            self._rng, epoch_rng = jax.random.split(self._rng)
+            self.state, outs = fn(self.state, schedule, epoch_rng)
+        else:
+            outs = fn(self.state, schedule)
+        outs = jax.device_get(outs)
+        key = "validation" if split == "validation" else split
+        if key in self.timing_history:
+            self.timing_history[key].append(time.time() - t0)
+        flat = {
+            k: np.reshape(v, (-1,) + v.shape[2:]) if v is not None else None
+            for k, v in outs.items()
+            if k != "loss"
+        }
+        self.recorder.update_group_ids(
+            self.group_name,
+            flat["preds"], flat["labels"], flat["pattern_id"], vocab,
+            flat.get("sample_mask"),
+        )
+        mask = np.reshape(outs["sample_mask"], (outs["loss"].shape[0], -1))
+        step_w = mask.mean(axis=1)
+        return float(
+            np.sum(outs["loss"] * (step_w > 0)) / max(np.sum(step_w > 0), 1)
+        )
+
     def train_epoch(self, epoch: int) -> float:
+        if "train" in self._scan:
+            return self._scan_epoch("train", epoch)
         loader = self.loaders["train"]
         vocab = loader.pattern_vocab
         losses = []
@@ -163,6 +234,8 @@ class TrainLoop:
         return float(np.mean(jax.device_get(losses)))
 
     def eval_epoch(self, split: str) -> float:
+        if split in self._scan:
+            return self._scan_epoch(split, 0)
         loader = self.loaders[split]
         vocab = loader.pattern_vocab
         losses = []
