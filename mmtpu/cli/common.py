@@ -52,8 +52,25 @@ def apply_platform(args) -> None:
         jax.config.update("jax_platforms", "cpu")
 
 
+_PRECISION_MAP = {
+    "bf16": "bfloat16",
+    "bfloat16": "bfloat16",
+    "tf32": "tensorfloat32",
+    "f32": "float32",
+    "float32": "float32",
+    "highest": "highest",
+}
+
+
+def apply_precision(cfg) -> None:
+    p = getattr(cfg.experiment, "precision", None)
+    if p:
+        jax.config.update("jax_default_matmul_precision", _PRECISION_MAP[p.lower()])
+
+
 def load_config(args) -> StandardMultimodalConfig:
     cfg = StandardMultimodalConfig.load(args.config, run_id=args.run_id)
+    apply_precision(cfg)
     if args.seed is not None:
         cfg.experiment.seed = args.seed
         np.random.seed(args.seed)

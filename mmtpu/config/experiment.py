@@ -35,6 +35,9 @@ class ExperimentConfig(BaseConfig):
     validation_print_interval_epochs: int = 1
     dry_run: bool = False
     cross_validation: Optional[int] = None
+    # TPU matmul/conv precision: "bf16" runs MXU passes in bfloat16 with
+    # fp32 params/accumulation (fast path), "f32" forces full precision.
+    precision: Optional[str] = None
 
     def __post_init__(self) -> None:
         assert self.train_print_interval_epochs > 0
