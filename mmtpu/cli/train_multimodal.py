@@ -46,6 +46,15 @@ def main(argv=None) -> int:
 
 
 def run_single(cfg, args, cv_no=None) -> int:
+    mt = cfg.model.model_type.lower()
+    if mt in ("mmin", "redcore"):
+        from mmtpu.cli import msa_runners
+
+        return msa_runners.run(cfg, args, cv_no=cv_no)
+    if mt in ("self-mm", "self_mm"):
+        from mmtpu.cli import train_self_mm
+
+        return train_self_mm.run(cfg, args)
     clean_checkpoints(cfg.logging.model_output_path)
     if cv_no is not None:
         # reference main_cross_validation injects the fold number into every
