@@ -41,11 +41,40 @@ _NAME_RULES: List[Tuple[str, str]] = [
 
 _MNIST_FC = ("fc", "net.5")  # MNISTAudio/Image final Linear in Sequential
 
+# Dense-after-conv-flatten layouts (C, H, W) for automatic NCHW→NHWC
+# permutation: MNIST image 64×7×7, MNIST audio 64×5×15, LeNet 16×5×5.
+_DEFAULT_FLATTEN_LAYOUTS: Dict[str, Tuple[int, int, int]] = {
+    "fc": (64, 7, 7),
+    "fc1": (16, 5, 5),
+}
+
+
+def _permute_flatten(w: np.ndarray, chw: Tuple[int, int, int]) -> np.ndarray:
+    """(out, C*H*W) torch linear weight → (out, H*W*C) matching NHWC flatten."""
+    out_dim, in_dim = w.shape
+    c, h, wd = chw
+    if c * h * wd != in_dim:
+        # try to infer H*W from in_dim given C (audio encoders have
+        # non-square maps)
+        if in_dim % c != 0:
+            return w
+        hw = in_dim // c
+        return w.reshape(out_dim, c, hw).transpose(0, 2, 1).reshape(out_dim, in_dim)
+    return (
+        w.reshape(out_dim, c, h, wd).transpose(0, 2, 3, 1).reshape(out_dim, in_dim)
+    )
+
 
 def _load_state_dict(path: Path) -> Dict[str, np.ndarray]:
     import torch
 
-    obj = torch.load(str(path), map_location="cpu", weights_only=False)
+    try:
+        obj = torch.load(str(path), map_location="cpu", weights_only=False)
+    except ModuleNotFoundError:
+        # Reference checkpoints pickle its internal classes (config.*,
+        # models.*, ...). Stub those modules so the tensors unpickle; the
+        # class instances become inert placeholders we never touch.
+        obj = _load_with_stub_modules(path)
     if isinstance(obj, dict) and "model_state_dict" in obj:
         obj = obj["model_state_dict"]
     if isinstance(obj, dict) and "state_dict" in obj:
@@ -55,6 +84,72 @@ def _load_state_dict(path: Path) -> Dict[str, np.ndarray]:
         if hasattr(v, "numpy"):
             state[k.removeprefix("module.")] = v.detach().cpu().numpy()
     return state
+
+
+class _Stub(dict):
+    """Inert placeholder for unpicklable reference classes. Subclasses dict
+    so dict-based reference types (e.g. LossFunctionGroup) reconstruct."""
+
+    def __init__(self, *a, **k):
+        super().__init__()
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+
+    def append(self, *a):  # list-like reconstruction
+        pass
+
+
+def _load_with_stub_modules(path: Path):
+    import importlib
+    import pickle
+    import sys
+    import types
+
+    import torch
+
+    class StubModule(types.ModuleType):
+        def __getattr__(self, name):
+            if name.startswith("__"):
+                raise AttributeError(name)
+            # Modality instances appear as dict KEYS in reference pickles —
+            # map them onto mmtpu's (hashable, str-backed) Modality.
+            if name == "Modality":
+                from mmtpu.modalities import Modality
+
+                return Modality
+            if name == "add_modality":
+                from mmtpu.modalities import add_modality
+
+                return add_modality
+            return type(name, (_Stub,), {"__module__": self.__name__})
+
+    roots = ("config", "models", "experiment_utils", "data", "modalities",
+             "federated", "metrics")
+    installed = []
+    # checkpoints saved on Windows pickle WindowsPath objects
+    import pathlib
+
+    orig_windows_path = pathlib.WindowsPath
+    pathlib.WindowsPath = pathlib.PurePosixPath
+    try:
+        while True:
+            try:
+                return torch.load(str(path), map_location="cpu", weights_only=False)
+            except ModuleNotFoundError as e:
+                mod_name = str(e).split("'")[1]
+                if mod_name.split(".")[0] not in roots or mod_name in sys.modules:
+                    raise
+                for i in range(1, len(mod_name.split(".")) + 1):
+                    prefix = ".".join(mod_name.split(".")[:i])
+                    if prefix not in sys.modules:
+                        sys.modules[prefix] = StubModule(prefix)
+                        installed.append(prefix)
+    finally:
+        pathlib.WindowsPath = orig_windows_path
+        for name in installed:
+            sys.modules.pop(name, None)
 
 
 def _flax_to_torch_key(flax_path: str, leaf: str, collection: str) -> Optional[str]:
@@ -87,9 +182,20 @@ def _convert(value: np.ndarray, leaf: str, target_shape: Tuple[int, ...]) -> np.
 
 
 def load_torch_checkpoint(
-    path: str | Path, target_params: Any, target_batch_stats: Optional[Any] = None
+    path: str | Path,
+    target_params: Any,
+    target_batch_stats: Optional[Any] = None,
+    flatten_layouts: Optional[Dict[str, Tuple[int, int, int]]] = None,
 ) -> Any:
-    """Return params (and optionally batch_stats) filled from a .pth file."""
+    """Return params (and optionally batch_stats) filled from a .pth file.
+
+    flatten_layouts: {flax_module_path: (C, H, W)} for Dense layers that
+    consume a flattened conv map — torch flattens NCHW (channel-major),
+    flax flattens NHWC, so those kernels are permuted accordingly. The
+    MNIST/LeNet encoder layouts are applied automatically.
+    """
+    layouts = dict(_DEFAULT_FLATTEN_LAYOUTS)
+    layouts.update(flatten_layouts or {})
     state = _load_state_dict(Path(path))
     used: set = set()
 
@@ -114,7 +220,14 @@ def load_torch_checkpoint(
                     (c for c in candidates if c and c in state), None
                 )
                 if hit is not None:
-                    out[k] = _convert(state[hit], k, np.shape(v))
+                    value = state[hit]
+                    if (
+                        k == "kernel"
+                        and value.ndim == 2
+                        and flax_path in layouts
+                    ):
+                        value = _permute_flatten(value, layouts[flax_path])
+                    out[k] = _convert(value, k, np.shape(v))
                     used.add(hit)
                 else:
                     out[k] = _match_by_shape(v, k, state, used)

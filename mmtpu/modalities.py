@@ -26,8 +26,9 @@ class Modality(str):
 
     _registry: Dict[str, "Modality"] = {}
 
-    def __new__(cls, name: str) -> "Modality":
-        key = name.lower()
+    def __new__(cls, name) -> "Modality":
+        # tolerate non-str inputs (e.g. int-enum values in reference pickles)
+        key = str(name).lower()
         if key in cls._registry:
             return cls._registry[key]
         obj = super().__new__(cls, key)

@@ -39,8 +39,10 @@ def dataset_nbytes(dataset) -> int:
     )
 
 
-@dataclasses.dataclass
-class DeviceResidentData:
+from flax import struct
+
+
+class DeviceResidentData(struct.PyTreeNode):
     arrays: Dict[str, jnp.ndarray]
     labels: jnp.ndarray
 
@@ -68,7 +70,12 @@ def _gather_batch(data: DeviceResidentData, xs: Dict[str, jnp.ndarray]):
 
 
 def make_scan_train_epoch(task: ClassificationTask, data: DeviceResidentData):
-    def epoch_fn(state: TrainState, schedule: Dict[str, jnp.ndarray], rng):
+    # `data` is passed as an argument (not closed over): closure-captured
+    # arrays are baked into the HLO as constants, which blows up the
+    # compile payload (observed: HTTP 413 from the remote-compile tunnel
+    # with a 360 MB resident split).
+    def epoch_fn(state: TrainState, data: DeviceResidentData,
+                 schedule: Dict[str, jnp.ndarray], rng):
         def body(carry, xs):
             state, rng = carry
             rng, step_rng = jax.random.split(rng)
@@ -113,11 +120,13 @@ def make_scan_train_epoch(task: ClassificationTask, data: DeviceResidentData):
         (state, _), outs = jax.lax.scan(body, (state, rng), schedule)
         return state, outs
 
-    return jax.jit(epoch_fn, donate_argnums=(0,))
+    fn = jax.jit(epoch_fn, donate_argnums=(0,))
+    return lambda state, schedule, rng: fn(state, data, schedule, rng)
 
 
 def make_scan_eval_epoch(task: ClassificationTask, data: DeviceResidentData):
-    def epoch_fn(state: TrainState, schedule: Dict[str, jnp.ndarray]):
+    def epoch_fn(state: TrainState, data: DeviceResidentData,
+                 schedule: Dict[str, jnp.ndarray]):
         def body(carry, xs):
             batch = _gather_batch(data, xs)
             logits = task.apply(state.variables, batch, train=False)
@@ -141,7 +150,8 @@ def make_scan_eval_epoch(task: ClassificationTask, data: DeviceResidentData):
         _, outs = jax.lax.scan(body, None, schedule)
         return outs
 
-    return jax.jit(epoch_fn)
+    fn = jax.jit(epoch_fn)
+    return lambda state, schedule: fn(state, data, schedule)
 
 
 def build_schedule(

@@ -93,6 +93,28 @@ class EnhancedConsole:
                 self._progress = None
 
     # -- tables ------------------------------------------------------------
+    def display_confusion_matrix(
+        self, matrix, labels=None, title: str = "Confusion Matrix"
+    ) -> None:
+        """Terminal confusion-matrix rendering
+        (reference printing.py:163-296)."""
+        import numpy as np
+
+        m = np.asarray(matrix)
+        names = labels or [str(i) for i in range(m.shape[0])]
+        if self._rich is not None:
+            table = Table(title=title)
+            table.add_column("true\\pred")
+            for n in names:
+                table.add_column(str(n), justify="right")
+            for i, row in enumerate(m):
+                table.add_row(str(names[i]), *[str(int(v)) for v in row])
+            self._rich.print(table)
+        else:
+            print(f"-- {title} --")
+            for i, row in enumerate(m):
+                print(names[i], " ".join(str(int(v)) for v in row))
+
     def display_metrics_table(self, title: str, metrics: Dict[str, float]) -> None:
         if self._rich is not None:
             table = Table(title=title)
