@@ -19,9 +19,14 @@ import jax.numpy as jnp
 
 
 class LSTMEncoder(nn.Module):
+    """backend='rnn' uses flax's scanned OptimizedLSTMCell; 'fused' uses the
+    Pallas full-sequence kernel (mmtpu/ops/lstm.py — VMEM-resident state,
+    fused wi/wh/b params)."""
+
     input_size: int
     hidden_size: int
     embd_method: str = "last"
+    backend: str = "rnn"
 
     def get_embedding_size(self) -> int:
         return self.hidden_size
@@ -34,13 +39,29 @@ class LSTMEncoder(nn.Module):
         train: bool = False,
     ) -> jnp.ndarray:
         assert self.embd_method in ("last", "attention", "maxpool")
-        rnn = nn.RNN(
-            nn.OptimizedLSTMCell(self.hidden_size), return_carry=True, name="rnn"
-        )
-        if lengths is not None:
-            (carry_c, carry_h), outputs = rnn(x, seq_lengths=lengths)
+        if self.backend == "fused":
+            from mmtpu.ops.lstm import lstm_sequence
+
+            H = self.hidden_size
+            xw = nn.Dense(4 * H, name="wi")(x)
+            wh = self.param(
+                "wh", nn.initializers.orthogonal(), (H, 4 * H)
+            )
+            B = x.shape[0]
+            h0 = jnp.zeros((B, H), x.dtype)
+            outputs, (carry_h, carry_c) = lstm_sequence(
+                xw, wh, h0, h0,
+                lengths.astype(jnp.int32) if lengths is not None else None,
+            )
         else:
-            (carry_c, carry_h), outputs = rnn(x)
+            rnn = nn.RNN(
+                nn.OptimizedLSTMCell(self.hidden_size), return_carry=True,
+                name="rnn",
+            )
+            if lengths is not None:
+                (carry_c, carry_h), outputs = rnn(x, seq_lengths=lengths)
+            else:
+                (carry_c, carry_h), outputs = rnn(x)
 
         if self.embd_method == "last":
             return carry_h

@@ -1,0 +1,173 @@
+"""Pallas full-sequence LSTM: the recurrent state never leaves VMEM.
+
+XLA's scanned LSTM writes h/c to HBM every timestep; this kernel runs the
+whole sequence per batch-tile with h and c in VMEM scratch. The input
+projection x@Wi (the big, parallel GEMM) stays in XLA where the MXU is
+already saturated; the kernel handles the serial part: per-step h@Wh + gate
+elementwise chain + length masking (packed-sequence semantics).
+
+Gate order follows flax: [i, f, g, o] (sigmoid, sigmoid, tanh, sigmoid).
+Backward = custom VJP that recomputes through a pure-XLA reference scan
+(jax.vjp), so gradients are exactly the reference's.
+
+Falls back to the XLA reference on non-TPU backends.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _xla_lstm(xw, wh, h0, c0, lengths):
+    """Reference scan: xw (B, T, 4H) already includes x@Wi + b."""
+    H = wh.shape[0]
+
+    def step(carry, t):
+        h, c = carry
+        pre = xw[:, t] + h @ wh
+        i = jax.nn.sigmoid(pre[:, :H])
+        f = jax.nn.sigmoid(pre[:, H : 2 * H])
+        g = jnp.tanh(pre[:, 2 * H : 3 * H])
+        o = jax.nn.sigmoid(pre[:, 3 * H :])
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        if lengths is not None:
+            keep = (t < lengths)[:, None]
+            h_new = jnp.where(keep, h_new, h)
+            c_new = jnp.where(keep, c_new, c)
+        return (h_new, c_new), h_new
+
+    (h, c), outs = jax.lax.scan(step, (h0, c0), jnp.arange(xw.shape[1]))
+    return jnp.transpose(outs, (1, 0, 2)), (h, c)
+
+
+def _pallas_lstm(xw, wh, h0, c0, lengths):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, T, H4 = xw.shape
+    H = H4 // 4
+    Hp = _round_up(H, LANE)
+    BT = min(_round_up(B, 8), 256)
+    Bp = _round_up(B, BT)
+
+    xw_p = jnp.pad(xw, ((0, Bp - B), (0, 0), (0, 0)))
+    # pad each gate block of wh columns to Hp so in-kernel slices align
+    wh_p = jnp.pad(wh, ((0, Hp - H), (0, 0)))
+    wh_p = jnp.concatenate(
+        [
+            jnp.pad(wh_p[:, k * H : (k + 1) * H], ((0, 0), (0, Hp - H)))
+            for k in range(4)
+        ],
+        axis=1,
+    )  # (Hp, 4Hp)
+    xw_p = jnp.concatenate(
+        [
+            jnp.pad(xw_p[:, :, k * H : (k + 1) * H], ((0, 0), (0, 0), (0, Hp - H)))
+            for k in range(4)
+        ],
+        axis=2,
+    )  # (Bp, T, 4Hp)
+    h0_p = jnp.pad(h0, ((0, Bp - B), (0, Hp - H)))
+    c0_p = jnp.pad(c0, ((0, Bp - B), (0, Hp - H)))
+    lens = (
+        jnp.pad(lengths, (0, Bp - B)) if lengths is not None
+        else jnp.full((Bp,), T, jnp.int32)
+    ).astype(jnp.int32)[:, None]
+
+    def kernel(xw_ref, wh_ref, h0_ref, c0_ref, len_ref, out_ref, hT_ref, cT_ref,
+               h_s, c_s):
+        h_s[:] = h0_ref[:]
+        c_s[:] = c0_ref[:]
+
+        def body(t, _):
+            h = h_s[:]
+            pre = xw_ref[:, t, :] + jnp.dot(
+                h, wh_ref[:], preferred_element_type=jnp.float32
+            )
+            i = jax.nn.sigmoid(pre[:, :Hp])
+            f = jax.nn.sigmoid(pre[:, Hp : 2 * Hp])
+            g = jnp.tanh(pre[:, 2 * Hp : 3 * Hp])
+            o = jax.nn.sigmoid(pre[:, 3 * Hp :])
+            c_new = f * c_s[:] + i * g
+            h_new = o * jnp.tanh(c_new)
+            keep = (t < len_ref[:]).reshape(-1, 1)
+            h_s[:] = jnp.where(keep, h_new, h)
+            c_s[:] = jnp.where(keep, c_new, c_s[:])
+            out_ref[:, t, :] = h_s[:]
+            return 0
+
+        jax.lax.fori_loop(0, T, body, 0)
+        hT_ref[:] = h_s[:]
+        cT_ref[:] = c_s[:]
+
+    grid = (Bp // BT,)
+    outs, hT, cT = pl.pallas_call(
+        kernel,
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((BT, T, 4 * Hp), lambda i: (i, 0, 0)),
+                pl.BlockSpec((Hp, 4 * Hp), lambda i: (0, 0)),
+                pl.BlockSpec((BT, Hp), lambda i: (i, 0)),
+                pl.BlockSpec((BT, Hp), lambda i: (i, 0)),
+                pl.BlockSpec((BT, 1), lambda i: (i, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((BT, T, Hp), lambda i: (i, 0, 0)),
+                pl.BlockSpec((BT, Hp), lambda i: (i, 0)),
+                pl.BlockSpec((BT, Hp), lambda i: (i, 0)),
+            ],
+            scratch_shapes=[
+                # h and c live here for the whole sequence
+                pltpu.VMEM((BT, Hp), jnp.float32),
+                pltpu.VMEM((BT, Hp), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, T, Hp), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, Hp), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, Hp), jnp.float32),
+        ],
+    )(xw_p, wh_p, h0_p, c0_p, lens)
+    return outs[:B, :, :H], (hT[:B, :H], cT[:B, :H])
+
+
+@jax.custom_vjp
+def lstm_sequence(
+    xw: jnp.ndarray,
+    wh: jnp.ndarray,
+    h0: jnp.ndarray,
+    c0: jnp.ndarray,
+    lengths: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """xw: (B,T,4H) pre-projected inputs; wh: (H,4H). Returns (outputs, (h,c))."""
+    if jax.default_backend() != "tpu":
+        return _xla_lstm(xw, wh, h0, c0, lengths)
+    return _pallas_lstm(xw, wh, h0, c0, lengths)
+
+
+def _fwd(xw, wh, h0, c0, lengths):
+    out = lstm_sequence(xw, wh, h0, c0, lengths)
+    return out, (xw, wh, h0, c0, lengths)
+
+
+def _bwd(res, g):
+    xw, wh, h0, c0, lengths = res
+    _, vjp = jax.vjp(lambda a, b, c, d: _xla_lstm(a, b, c, d, lengths),
+                     xw, wh, h0, c0)
+    dxw, dwh, dh0, dc0 = vjp(g)
+    return dxw, dwh, dh0, dc0, None
+
+
+lstm_sequence.defvjp(_fwd, _bwd)

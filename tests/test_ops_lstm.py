@@ -1,0 +1,67 @@
+"""lstm_sequence op tests (CPU exercises the XLA fallback; the Pallas path
+was validated bit-exact on TPU — see mmtpu/ops/lstm.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmtpu.ops.lstm import _xla_lstm, lstm_sequence
+
+
+def setup(B=6, T=10, H=16, I=8, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(B, T, I)), jnp.float32)
+    wi = jnp.asarray(rng.normal(size=(I, 4 * H)) * 0.1, jnp.float32)
+    wh = jnp.asarray(rng.normal(size=(H, 4 * H)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(4 * H,)) * 0.1, jnp.float32)
+    xw = (x.reshape(B * T, I) @ wi + b).reshape(B, T, 4 * H)
+    return xw, wh, jnp.zeros((B, H)), jnp.zeros((B, H))
+
+
+def test_matches_flax_rnn_semantics():
+    """Our gate order/activations must match flax's LSTMCell scan."""
+    import flax.linen as nn
+
+    B, T, H, I = 4, 8, 12, 6
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(B, T, I)), jnp.float32)
+
+    cell = nn.OptimizedLSTMCell(H)
+    rnn = nn.RNN(cell, return_carry=True)
+    v = rnn.init(jax.random.PRNGKey(0), x)
+    (c_f, h_f), outs_f = rnn.apply(v, x)
+
+    p = v["params"]["cell"]
+    wi = jnp.concatenate(
+        [p["ii"]["kernel"], p["if"]["kernel"], p["ig"]["kernel"], p["io"]["kernel"]],
+        axis=1,
+    )
+    wh = jnp.concatenate(
+        [p["hi"]["kernel"], p["hf"]["kernel"], p["hg"]["kernel"], p["ho"]["kernel"]],
+        axis=1,
+    )
+    b = jnp.concatenate(
+        [p["hi"]["bias"], p["hf"]["bias"], p["hg"]["bias"], p["ho"]["bias"]]
+    )
+    xw = (x.reshape(B * T, I) @ wi + b).reshape(B, T, 4 * H)
+    outs, (h, c) = lstm_sequence(xw, wh, jnp.zeros((B, H)), jnp.zeros((B, H)))
+    np.testing.assert_allclose(np.asarray(outs), np.asarray(outs_f), rtol=2e-5,
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_f), rtol=2e-5, atol=2e-6)
+
+
+def test_length_masking_freezes_state():
+    xw, wh, h0, c0 = setup()
+    lengths = jnp.array([10, 3, 10, 1, 7, 10], jnp.int32)
+    outs, (h, c) = lstm_sequence(xw, wh, h0, c0, lengths)
+    # after a sample's length, outputs repeat the frozen state
+    np.testing.assert_array_equal(np.asarray(outs[1, 3:]),
+                                  np.tile(np.asarray(outs[1, 2]), (7, 1)))
+    np.testing.assert_array_equal(np.asarray(h[1]), np.asarray(outs[1, 2]))
+
+
+def test_gradients_flow():
+    xw, wh, h0, c0 = setup()
+    g = jax.grad(lambda xw, wh: jnp.sum(lstm_sequence(xw, wh, h0, c0)[0] ** 2),
+                 argnums=(0, 1))(xw, wh)
+    assert all(bool(jnp.any(x != 0)) for x in g)
