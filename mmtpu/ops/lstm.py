@@ -11,6 +11,11 @@ Backward = custom VJP that recomputes through a pure-XLA reference scan
 (jax.vjp), so gradients are exactly the reference's.
 
 Falls back to the XLA reference on non-TPU backends.
+
+Measured (v5e, B=128 T=50 H=128): 0.59 ms/call vs XLA scan 0.48 ms/call —
+XLA's scan already pipelines this shape well, so the flax 'rnn' backend
+stays the default; the kernel is kept as the tuning base for shapes where
+the per-step launch overhead dominates (small H / long T).
 """
 
 from __future__ import annotations
