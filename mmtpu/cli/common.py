@@ -44,7 +44,38 @@ def standard_arg_parser(description: str) -> argparse.ArgumentParser:
         dest="disable_monitoring", action="store_true",
     )
     p.add_argument("--cpu", action="store_true", help="Force the CPU backend")
+    p.add_argument(
+        "--profile", action="store_true",
+        help="Capture a JAX profiler trace of the first training epochs "
+             "into <log_path>/profile (view with TensorBoard)",
+    )
     return p
+
+
+class ProfilerSession:
+    """JAX profiler trace around the training phase (SURVEY §5.1: the
+    reference has only wall-clock phase timing; the TPU mapping is a real
+    step-level trace)."""
+
+    def __init__(self, enabled: bool, log_path: str) -> None:
+        self.enabled = enabled
+        self.dir = str(Path(log_path) / "profile")
+
+    def __enter__(self):
+        if self.enabled:
+            import jax
+
+            Path(self.dir).mkdir(parents=True, exist_ok=True)
+            jax.profiler.start_trace(self.dir)
+            get_logger().info(f"profiler trace -> {self.dir}")
+        return self
+
+    def __exit__(self, *exc):
+        if self.enabled:
+            import jax
+
+            jax.profiler.stop_trace()
+        return False
 
 
 def apply_platform(args) -> None:

@@ -111,7 +111,10 @@ def run_single(cfg, args, cv_no=None) -> int:
 
     results = {}
     if not args.skip_train and cfg.experiment.is_train:
-        best = loop.run()
+        with common.ProfilerSession(
+            getattr(args, "profile", False), cfg.logging.log_path
+        ):
+            best = loop.run()
         console.success(f"training done; best: { {k: v for k, v in list(best.items())[:4]} }")
 
     if not args.skip_test and cfg.experiment.is_test:
