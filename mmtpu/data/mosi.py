@@ -140,6 +140,7 @@ class SyntheticMOSI(MultimodalSentimentDataset):
         num_samples: int = 256,
         seq_len: int = 50,
         num_classes: Optional[int] = None,
+        text_mode: str = "features",  # 'features' (B,seq,768) or 'bert' (B,3,seq)
         seed: int = 0,
         **_unused,
     ) -> None:
@@ -176,5 +177,12 @@ class SyntheticMOSI(MultimodalSentimentDataset):
                 + shift[:, None, None] * 0.3
             ),
         }
+        if text_mode == "bert":
+            # BERT input rows: ids / attention mask / segment ids
+            ids = rng.integers(1, 100, size=(num_samples, seq_len))
+            text = np.zeros((num_samples, 3, seq_len), np.float32)
+            text[:, 0, :] = ids
+            text[:, 1, :] = 1.0
+            self.arrays[Modality.TEXT] = text
         self.lengths = {}
         self.initialise_missing_masks()

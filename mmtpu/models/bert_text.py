@@ -24,7 +24,12 @@ from mmtpu.utils.utils import format_path_with_env
 logger = get_logger()
 
 
-def _make_bert(pretrained_path: Optional[str], hidden_size: int = 768):
+def _make_bert(
+    pretrained_path: Optional[str],
+    hidden_size: int = 768,
+    num_hidden_layers: int = 12,
+    num_attention_heads: int = 12,
+):
     from transformers import BertConfig, FlaxBertModel
 
     if pretrained_path:
@@ -34,7 +39,12 @@ def _make_bert(pretrained_path: Optional[str], hidden_size: int = 768):
         logger.warning(
             f"BERT pretrained path {path} not found — using random init"
         )
-    config = BertConfig(hidden_size=hidden_size)
+    config = BertConfig(
+        hidden_size=hidden_size,
+        num_hidden_layers=num_hidden_layers,
+        num_attention_heads=num_attention_heads,
+        intermediate_size=hidden_size * 4,
+    )
     return FlaxBertModel(config)
 
 
@@ -43,13 +53,18 @@ class BertTextEncoder(nn.Module):
     use_finetune: bool = False
     pretrained_path: str = "pretrained_model/bert_en"
     hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
 
     def get_embedding_size(self) -> int:
         return self.hidden_size
 
     def setup(self) -> None:
         assert self.language in ("en", "cn")
-        hf = _make_bert(self.pretrained_path, self.hidden_size)
+        hf = _make_bert(
+            self.pretrained_path, self.hidden_size,
+            self.num_hidden_layers, self.num_attention_heads,
+        )
         self._module = hf.module
         self._hf_params = hf.params
 
@@ -58,11 +73,10 @@ class BertTextEncoder(nn.Module):
         input_ids = text[:, 0, :].astype(jnp.int32)
         attention_mask = text[:, 1, :].astype(jnp.int32)
         token_type_ids = text[:, 2, :].astype(jnp.int32)
-        params = self.param(
-            "bert", lambda rng: self._hf_params
-        ) if self.use_finetune else self.variable(
-            "frozen", "bert", lambda: self._hf_params
-        ).value
+        # BERT weights live in 'params' either way; when use_finetune is
+        # False the stop_gradient below zeroes their grads (reference wraps
+        # the call in no_grad, bert_text_encoder.py:66-73).
+        params = self.param("bert", lambda rng: self._hf_params)
         out = self._module.apply(
             {"params": params},
             input_ids=input_ids,
