@@ -102,8 +102,6 @@ class _Stub(dict):
 
 
 def _load_with_stub_modules(path: Path):
-    import importlib
-    import pickle
     import sys
     import types
 

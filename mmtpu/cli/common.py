@@ -16,7 +16,7 @@ import jax
 import numpy as np
 
 from mmtpu.checkpoints.manager import CheckpointManager, load_encoder_checkpoint
-from mmtpu.config import ModuleSpec, StandardMultimodalConfig
+from mmtpu.config import StandardMultimodalConfig
 from mmtpu.config.training import TrainingConfig
 from mmtpu.models.registry import build_module
 from mmtpu.modalities import Modality
@@ -24,7 +24,6 @@ from mmtpu.train.early_stopping import EarlyStopping, mode_for_metric
 from mmtpu.train.optim import LRController, build_optimizer
 from mmtpu.train.recorder import MetricRecorder
 from mmtpu.train.state import TrainState
-from mmtpu.train.step import ClassificationTask
 from mmtpu.utils.logging import configure_logger, get_logger
 from mmtpu.utils.printing import get_console
 

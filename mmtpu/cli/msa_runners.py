@@ -10,7 +10,6 @@ from __future__ import annotations
 from pathlib import Path
 
 import jax
-import numpy as np
 
 from mmtpu.cli import common
 from mmtpu.modalities import Modality

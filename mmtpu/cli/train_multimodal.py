@@ -14,7 +14,7 @@ import numpy as np
 
 from mmtpu.cli import common
 from mmtpu.modalities import Modality
-from mmtpu.train.loop import TrainLoop, _jsonable
+from mmtpu.train.loop import TrainLoop
 from mmtpu.train.step import ClassificationTask
 from mmtpu.utils.printing import get_console
 from mmtpu.utils.utils import clean_checkpoints

@@ -9,7 +9,7 @@ through the teacher (train_cmam step, mmtpu/train/cmam_step.py).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax.numpy as jnp

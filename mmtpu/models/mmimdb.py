@@ -14,7 +14,7 @@ from typing import Any, Dict, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from mmtpu.models.fusion import GatedBiModalNetwork, MaxOut, MultimodalPooling
+from mmtpu.models.fusion import MaxOut, MultimodalPooling
 
 
 class MMIMDbModalityEncoder(nn.Module):

@@ -14,7 +14,7 @@ twice); here each modality uses its own index.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Dict
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ optimizer chain by the trainer when configured.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

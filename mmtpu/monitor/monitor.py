@@ -18,7 +18,7 @@ like the reference (config/monitor_config.py:31-32).
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp

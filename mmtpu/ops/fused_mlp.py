@@ -19,7 +19,7 @@ Falls back to plain XLA ops on non-TPU backends.
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ the per-step launch overhead dominates (small H / long T).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

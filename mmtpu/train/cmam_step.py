@@ -19,7 +19,6 @@ from typing import Any, Callable, Dict, Sequence
 import jax
 import jax.numpy as jnp
 
-from mmtpu.modalities import Modality
 from mmtpu.train.cmam_loss import CMAMLoss
 from mmtpu.train.state import TrainState
 

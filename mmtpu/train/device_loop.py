@@ -19,8 +19,7 @@ integration); semantics are identical to the streaming path.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Callable, Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ import jax
 import numpy as np
 
 from mmtpu.checkpoints.manager import CheckpointManager
-from mmtpu.train.early_stopping import EarlyStopping, mode_for_metric
+from mmtpu.train.early_stopping import EarlyStopping
 from mmtpu.train.optim import LRController, set_lr_scale
 from mmtpu.train.recorder import MetricRecorder
 from mmtpu.train.step import make_eval_step, make_train_step

@@ -12,7 +12,7 @@ the whole label-refinement algorithm compiles into the step.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

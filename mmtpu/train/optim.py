@@ -19,12 +19,12 @@ from __future__ import annotations
 
 import math
 import re
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import optax
 
-from mmtpu.config.optim import OptimizerConfig, ParameterGroupConfig
+from mmtpu.config.optim import OptimizerConfig
 from mmtpu.utils.logging import get_logger
 
 logger = get_logger()
