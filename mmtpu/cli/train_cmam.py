@@ -82,12 +82,19 @@ def main(argv=None) -> int:
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
 
     # copy base encoder states into CMAM input encoders when requested
+    params = dict(params)
     for mod in cfg.cmam.kwargs.get("load_pretrained_encoder_state_for") or ():
         mod = str(Modality(str(mod)))
         enc_key = f"{mod}_encoder"
-        if enc_key in base_variables["params"] and f"encoders_{mod}" in params:
-            params[f"encoders_{mod}"] = base_variables["params"][enc_key]
+        cmam_key = f"input_encoders_{mod}"  # linen's dict-submodule naming
+        if enc_key in base_variables["params"] and cmam_key in params:
+            params[cmam_key] = base_variables["params"][enc_key]
             console.success(f"copied base {mod} encoder state into CMAM")
+        else:
+            console.warning(
+                f"could not copy base {mod} encoder into CMAM "
+                f"({enc_key} -> {cmam_key})"
+            )
 
     # optimizer over CMAM params only (reference :208)
     state = common.make_state(cmam_model, params, batch_stats, cfg.training)

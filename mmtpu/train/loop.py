@@ -316,10 +316,24 @@ class TrainLoop:
 
             target = val_metrics.get(self.save_metric)
             if target is None:
-                # accuracy-style metrics carry pattern suffixes — use the
-                # full-modality one if present, else the first match.
-                cands = [k for k in val_metrics if k.startswith(self.save_metric)]
-                target = val_metrics[max(cands, key=len)] if cands else val_loss
+                # metric keys are group- and pattern-qualified
+                # ('classification_accuracy_AI') — substring-match and take
+                # the longest (the full-modality pattern).
+                cands = [
+                    k for k in val_metrics
+                    if self.save_metric in k
+                    and isinstance(val_metrics[k], (int, float))
+                ]
+                if cands:
+                    target = val_metrics[max(cands, key=len)]
+                else:
+                    logger.warning(
+                        f"save_metric {self.save_metric!r} not found in "
+                        f"validation metrics — falling back to loss (min)"
+                    )
+                    self.early.mode = "min"
+                    self.ckpt.mode = "min"
+                    target = val_loss
             is_best = self.early.step(float(target))
             if is_best:
                 best_metrics = dict(val_metrics)

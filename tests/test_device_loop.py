@@ -92,3 +92,16 @@ def test_scan_matches_streaming_exactly():
         stream.epoch_metrics[-1]["validation"].get("metrics")
         == scan.epoch_metrics[-1]["validation"].get("metrics")
     )
+
+
+def test_save_metric_accuracy_selects_pattern_qualified_key():
+    """Regression: save_metric='accuracy' must match the group/pattern-
+    qualified key ('classification_accuracy_AI'), not fall through to loss
+    with max-mode."""
+    loop = build_loop("off")
+    loop.save_metric = "accuracy"
+    loop.early.mode = "max"
+    loop.ckpt.mode = "max"
+    loop.run()
+    # best tracked on a [0,1] accuracy, not a ~2.3 loss
+    assert loop.early.best is not None and 0.0 <= loop.early.best <= 1.0
