@@ -185,9 +185,12 @@ def encoder_param_groups(
     return groups
 
 
-def make_state(model, params, batch_stats, training: TrainingConfig):
+def make_state(model, params, batch_stats, training: TrainingConfig,
+               clip: Optional[float] = None):
     extra = encoder_param_groups(training, params)
-    tx, report = build_optimizer(training.optimizer, params, extra_groups=extra)
+    tx, report = build_optimizer(
+        training.optimizer, params, extra_groups=extra, clip=clip
+    )
     for name, kw in report.items():
         get_logger().info(f"optimizer group {name}: {kw}")
     return TrainState.create(

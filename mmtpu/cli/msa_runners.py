@@ -51,7 +51,8 @@ def run(cfg, args, cv_no=None) -> int:
         )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    state = common.make_state(model, params, batch_stats, cfg.training)
+    state = common.make_state(model, params, batch_stats, cfg.training,
+        clip=cfg.model.kwargs.get("clip") or cfg.model.kwargs.get("grad_clip"))
 
     if mt == "mmin":
         from mmtpu.train.mmin_step import (

@@ -97,7 +97,8 @@ def main(argv=None) -> int:
             )
 
     # optimizer over CMAM params only (reference :208)
-    state = common.make_state(cmam_model, params, batch_stats, cfg.training)
+    state = common.make_state(cmam_model, params, batch_stats, cfg.training,
+        clip=cfg.cmam.kwargs.get("clip") or cfg.cmam.kwargs.get("grad_clip"))
 
     loss_terms = cfg.training.loss_functions
     cmam_term = next(

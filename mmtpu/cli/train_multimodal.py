@@ -78,7 +78,8 @@ def run_single(cfg, args, cv_no=None) -> int:
     params, batch_stats, loaded = common.load_pretrained_encoders(
         params, batch_stats, cfg.model.pretrained_encoders, cfg.logging, args.run_id
     )
-    state = common.make_state(model, params, batch_stats, cfg.training)
+    state = common.make_state(model, params, batch_stats, cfg.training,
+        clip=cfg.model.kwargs.get("clip") or cfg.model.kwargs.get("grad_clip"))
 
     multilabel = cfg.model.model_type.lower() == "mmimdb"
     task = ClassificationTask(
@@ -118,7 +119,9 @@ def run_single(cfg, args, cv_no=None) -> int:
         console.success(f"training done; best: { {k: v for k, v in list(best.items())[:4]} }")
 
     if not args.skip_test and cfg.experiment.is_test:
-        results = loop.test(splits=[s for s in loaders if s not in ("train", "validation")])
+        results = loop.test(
+            splits=[s for s in loaders if s not in ("train", "validation", "embeddings")]
+        )
         for split, metrics in results.items():
             console.display_metrics_table(
                 f"{split} metrics",

@@ -67,26 +67,49 @@ class BatchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         error: List[BaseException] = []
+        cancel = threading.Event()
 
         def worker():
             try:
                 for b in it:
-                    q.put(b)
+                    while not cancel.is_set():
+                        try:
+                            q.put(b, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if cancel.is_set():
+                        return
             except BaseException as e:  # noqa: BLE001
                 error.append(e)
             finally:
-                q.put(sentinel)
+                try:
+                    q.put_nowait(sentinel)
+                except queue.Full:
+                    pass
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        if error:
-            raise error[0]
-        self.epoch += 1
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+            if error:
+                raise error[0]
+        finally:
+            # consumer abandoned mid-epoch (break/exception): unblock and
+            # reap the worker; the epoch counter still advances so a retry
+            # gets a fresh shuffle/pattern schedule
+            cancel.set()
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=2.0)
+            self.epoch += 1
 
     def _epoch_batches(self) -> Iterator[Dict[str, np.ndarray]]:
         ds = self.dataset
@@ -158,32 +181,36 @@ def build_loader(
 class DevicePrefetcher:
     """Wrap a BatchLoader: device_put (sharded) one batch ahead.
 
-    transfer_dtype='bfloat16' halves host→device bytes for float payloads —
-    worthwhile when transfers ride a slow link (here: the axon tunnel,
-    ~16 MB/s) and the dataset exceeds the device-resident budget. Mask and
-    label vectors keep their dtypes.
+    transfer_dtype='bfloat16' halves host→device bytes for the EXPLICITLY
+    listed transfer_keys — worthwhile when transfers ride a slow link (here:
+    the axon tunnel, ~16 MB/s) and the dataset exceeds the device-resident
+    budget. Keys must be opted in because some float32 payloads carry
+    integer content (e.g. BERT token-id rows) that bf16 would corrupt.
     """
 
-    def __init__(self, loader: BatchLoader, mesh=None, transfer_dtype=None):
+    def __init__(
+        self, loader: BatchLoader, mesh=None, transfer_dtype=None,
+        transfer_keys=None,
+    ):
         self.loader = loader
         self.mesh = mesh
         self.transfer_dtype = transfer_dtype
+        self.transfer_keys = set(transfer_keys or ())
 
     def _compress(self, batch):
-        if self.transfer_dtype is None:
+        if self.transfer_dtype is None or not self.transfer_keys:
             return batch
         import ml_dtypes
 
         dtype = np.dtype(ml_dtypes.bfloat16) if self.transfer_dtype in (
             "bfloat16", "bf16"
         ) else np.dtype(self.transfer_dtype)
-        out = {}
-        for k, v in batch.items():
-            if v.dtype == np.float32 and v.ndim >= 2 and not k.endswith("_mask"):
-                out[k] = v.astype(dtype)
-            else:
-                out[k] = v
-        return out
+        return {
+            k: v.astype(dtype)
+            if k in self.transfer_keys and v.dtype == np.float32
+            else v
+            for k, v in batch.items()
+        }
 
     def __len__(self) -> int:
         return len(self.loader)

@@ -49,11 +49,9 @@ class CMAMTask:
     @staticmethod
     def masked(batch, mod: str) -> jnp.ndarray:
         """Pattern-masked modality, like the reference's batch[Modality.X]."""
-        x = batch[mod]
-        mask = batch.get(f"{mod}_mask")
-        if mask is not None:
-            x = x * mask.reshape(mask.shape[0], *([1] * (x.ndim - 1)))
-        return x
+        from mmtpu.train.step import apply_missing_mask
+
+        return apply_missing_mask(batch[mod], batch.get(f"{mod}_mask"))
 
     def teacher_embedding(self, batch) -> jnp.ndarray:
         """Frozen target-modality embedding from the base model's encoder."""
@@ -155,7 +153,7 @@ def make_cmam_eval_step(task: CMAMTask) -> Callable:
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
-        inputs = {m: batch[m] for m in task.input_modalities}
+        inputs = {m: task.masked(batch, m) for m in task.input_modalities}
         rec = state.apply_fn(variables, inputs, train=False)
         cls_logits = task.teacher_classify(rec, batch) if task.cls_from_rec else None
         terms = task.loss(

@@ -316,13 +316,18 @@ class TrainLoop:
 
             target = val_metrics.get(self.save_metric)
             if target is None:
-                # metric keys are group- and pattern-qualified
-                # ('classification_accuracy_AI') — substring-match and take
-                # the longest (the full-modality pattern).
+                # flattened keys are '{group}_{metric}[_{PATTERN}]' — match
+                # the metric name as an exact component so 'accuracy' never
+                # selects 'balanced_accuracy'; prefer the longest pattern
+                # suffix (the full-modality one).
+                import re as _re
+
+                rx = _re.compile(
+                    rf"^{_re.escape(self.group_name)}_{_re.escape(self.save_metric)}(_[A-Z]+)?$"
+                )
                 cands = [
                     k for k in val_metrics
-                    if self.save_metric in k
-                    and isinstance(val_metrics[k], (int, float))
+                    if rx.match(k) and isinstance(val_metrics[k], (int, float))
                 ]
                 if cands:
                     target = val_metrics[max(cands, key=len)]

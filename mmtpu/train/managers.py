@@ -58,19 +58,37 @@ class ManagerState(struct.PyTreeNode):
         return self.labels[modality][indexes]
 
     def update_labels(
-        self, modality: str, indexes: jnp.ndarray, new_labels: jnp.ndarray
+        self,
+        modality: str,
+        indexes: jnp.ndarray,
+        new_labels: jnp.ndarray,
+        sample_mask: jnp.ndarray = None,
     ) -> "ManagerState":
-        bank = self.labels[modality].at[indexes].set(new_labels)
+        """Scatter via masked DELTA-add: padded rows alias sample 0 and
+        duplicate-index `.set` order is unspecified — a zero delta for
+        masked-out rows makes the scatter exact."""
+        old = self.labels[modality][indexes]
+        delta = new_labels - old
+        if sample_mask is not None:
+            delta = jnp.where(sample_mask > 0, delta, 0.0)
+        bank = self.labels[modality].at[indexes].add(delta)
         return self.replace(labels={**self.labels, modality: bank})
 
     # -- feature bank ---------------------------------------------------------
 
     def update_features(
-        self, features: Dict[str, jnp.ndarray], indexes: jnp.ndarray
+        self,
+        features: Dict[str, jnp.ndarray],
+        indexes: jnp.ndarray,
+        sample_mask: jnp.ndarray = None,
     ) -> "ManagerState":
         new = dict(self.features)
         for m, f in features.items():
-            new[m] = new[m].at[indexes].set(jax.lax.stop_gradient(f))
+            delta = jax.lax.stop_gradient(f) - new[m][indexes]
+            if sample_mask is not None:
+                # padded rows alias sample 0 — zero delta leaves them intact
+                delta = jnp.where(sample_mask[:, None] > 0, delta, 0.0)
+            new[m] = new[m].at[indexes].add(delta)
         return self.replace(features=new)
 
     # -- centers -----------------------------------------------------------------

@@ -18,15 +18,36 @@ import jax.numpy as jnp
 
 from mmtpu.train.losses import LossFunctionGroup
 from mmtpu.train.state import TrainState
+from mmtpu.train.step import apply_missing_mask as _masked_impl, masked_mean
 
 
 def _masked(batch, mod, invert=False):
-    x = batch[mod]
-    mask = batch.get(f"{mod}_mask")
-    if mask is None:
-        return x if not invert else jnp.zeros_like(x)
-    m = mask.reshape(mask.shape[0], *([1] * (x.ndim - 1)))
-    return x * ((1.0 - m) if invert else m)
+    return _masked_impl(batch[mod], batch.get(f"{mod}_mask"), invert=invert)
+
+
+def _weight(loss_group, key):
+    return loss_group[key].weight if key in loss_group else 1.0
+
+
+def _mmin_losses(task, res, batch, stop_grad_fusion=True):
+    """Per-sample CE/MSE/cycle terms with padded rows masked out
+    (the generic ClassificationTask step does the same masked mean)."""
+    import optax
+
+    sm = batch.get("sample_mask")
+    lf = task.loss_group
+    per_ce = optax.softmax_cross_entropy_with_integer_labels(
+        res["logits"].astype(jnp.float32), batch[task.label_key].astype(jnp.int32)
+    )
+    loss_ce = _weight(lf, "cross_entropy") * masked_mean(per_ce, sm)
+    per_mse = jnp.mean((res["fusion"] - res["recon_fusion"]) ** 2, axis=-1)
+    loss_mse = _weight(lf, "mse") * masked_mean(per_mse, sm)
+    fusion_ref = (
+        jax.lax.stop_gradient(res["fusion"]) if stop_grad_fusion else res["fusion"]
+    )
+    per_cycle = jnp.mean((fusion_ref - res["recon_cycle"]) ** 2, axis=-1)
+    loss_cycle = _weight(lf, "cycle") * masked_mean(per_cycle, sm)
+    return loss_ce, loss_mse, loss_cycle
 
 
 @dataclasses.dataclass
@@ -72,23 +93,15 @@ def make_mmin_train_step(task: MMINTask) -> Callable:
                 new_stats = updates["batch_stats"]
             else:
                 res, new_stats = out, state.batch_stats
-            lf = task.loss_group
-            loss_ce = lf(res["logits"], batch[task.label_key], key="cross_entropy")[
-                "total_loss"
-            ]
-            # imputation target: the teacher's full-complement embedding if a
-            # teacher is configured, else self-reconstruction (reference uses
-            # fusion↔recon_fusion MSE, :147)
-            loss_mse = lf(res["fusion"], res["recon_fusion"], key="mse")["total_loss"]
-            loss_cycle = lf(
-                jax.lax.stop_gradient(res["fusion"]), res["recon_cycle"], key="cycle"
-            )["total_loss"]
+            loss_ce, loss_mse, loss_cycle = _mmin_losses(task, res, batch)
             total = loss_ce + loss_mse + loss_cycle
             teacher = task.teacher_embeddings(batch)
             if teacher is not None:
-                total = total + lf(res["recon_fusion"], teacher, key="mse")[
-                    "total_loss"
-                ]
+                # imputation target: the teacher's full-complement embedding
+                per = jnp.mean((res["recon_fusion"] - teacher) ** 2, axis=-1)
+                total = total + _weight(task.loss_group, "mse") * masked_mean(
+                    per, batch.get("sample_mask")
+                )
             return total, (res, new_stats, loss_ce, loss_mse, loss_cycle)
 
         (loss, (res, new_stats, l_ce, l_mse, l_cyc)), grads = jax.value_and_grad(
@@ -121,12 +134,10 @@ def make_mmin_eval_step(task: MMINTask) -> Callable:
             _masked(batch, "text"),
             train=False,
         )
-        lf = task.loss_group
-        loss = (
-            lf(res["logits"], batch[task.label_key], key="cross_entropy")["total_loss"]
-            + lf(res["fusion"], res["recon_fusion"], key="mse")["total_loss"]
-            + lf(res["fusion"], res["recon_cycle"], key="cycle")["total_loss"]
+        loss_ce, loss_mse, loss_cycle = _mmin_losses(
+            task, res, batch, stop_grad_fusion=False
         )
+        loss = loss_ce + loss_mse + loss_cycle
         out = {
             "loss": loss,
             "preds": jnp.argmax(res["logits"], axis=-1),

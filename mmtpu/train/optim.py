@@ -124,11 +124,15 @@ def build_optimizer(
     config: OptimizerConfig,
     params: Any,
     extra_groups: Optional[Sequence[Tuple[str, Dict[str, Any]]]] = None,
+    clip: Optional[float] = None,
 ) -> Tuple[optax.GradientTransformation, Dict[str, Dict[str, Any]]]:
     """Assemble the full transform.
 
     extra_groups: (path_regex, kwargs-overrides) from encoder_optimizer /
     modality_specific_params (reference train_multimodal.py:216-305).
+    clip: global-norm gradient clipping (the reference's
+    torch.nn.utils.clip_grad_norm_, applied by UttFusion/MMIN/RedCore/CMAM
+    train steps, e.g. utt_fusion.py:189).
     Returns (tx, group_report) where group_report maps group name → effective
     kwargs (for logging / effective-LR reporting).
     """
@@ -142,7 +146,7 @@ def build_optimizer(
     report: Dict[str, Dict[str, Any]] = {}
 
     if not groups:
-        tx = _scaled(_group_tx(config.name, dict(config.default_kwargs)))
+        tx = _scaled(_group_tx(config.name, dict(config.default_kwargs)), clip)
         report["default"] = dict(config.default_kwargs)
         return tx, report
 
@@ -166,7 +170,7 @@ def build_optimizer(
     transforms["default"] = _group_tx(config.name, dict(config.default_kwargs))
     report["default"] = dict(config.default_kwargs)
 
-    return _scaled(optax.multi_transform(transforms, labels)), report
+    return _scaled(optax.multi_transform(transforms, labels), clip), report
 
 
 def _label_tree(params: Any, patterns: List[str]) -> Any:
@@ -185,11 +189,18 @@ def _label_tree(params: Any, patterns: List[str]) -> Any:
     return jax.tree_util.tree_unflatten(flat[1], labels_flat)
 
 
-def _scaled(inner: optax.GradientTransformation) -> optax.GradientTransformation:
-    """Wrap with an injected global lr_scale multiplier (host-settable)."""
+def _scaled(
+    inner: optax.GradientTransformation, clip: Optional[float] = None
+) -> optax.GradientTransformation:
+    """Wrap with optional global-norm clipping and an injected global
+    lr_scale multiplier (host-settable)."""
 
     def build(lr_scale):
-        return optax.chain(inner, optax.scale(lr_scale))
+        parts = []
+        if clip:
+            parts.append(optax.clip_by_global_norm(clip))
+        parts += [inner, optax.scale(lr_scale)]
+        return optax.chain(*parts)
 
     return optax.inject_hyperparams(build)(lr_scale=1.0)
 
@@ -228,8 +239,10 @@ class LRController:
         k = self.kind
         if k == "plateau":
             return self._plateau_step(metric)
-        e = self.epoch
+        # torch schedulers are stepped AFTER an epoch and their factor
+        # applies to the NEXT one (last_epoch advances first)
         self.epoch += 1
+        e = self.epoch
         if k == "step":
             size = int(self.args.get("step_size", 30))
             gamma = float(self.args.get("gamma", 0.1))

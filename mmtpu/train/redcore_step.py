@@ -20,6 +20,7 @@ from flax import struct
 
 from mmtpu.train.losses import LossFunctionGroup
 from mmtpu.train.state import TrainState
+from mmtpu.train.step import apply_missing_mask, masked_mean
 
 
 class RedCoreSchedState(struct.PyTreeNode):
@@ -50,11 +51,16 @@ class RedCoreTask:
 
 
 def _masked(batch, mod):
-    x = batch[mod]
-    mask = batch.get(f"{mod}_mask")
-    if mask is None:
-        return x
-    return x * mask.reshape(mask.shape[0], *([1] * (x.ndim - 1)))
+    return apply_missing_mask(batch[mod], batch.get(f"{mod}_mask"))
+
+
+def _masked_ce(logits, labels, sample_mask):
+    import optax
+
+    per = optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), labels.astype(jnp.int32)
+    )
+    return masked_mean(per, sample_mask)
 
 
 def make_redcore_train_step(task: RedCoreTask) -> Callable:
@@ -88,12 +94,18 @@ def make_redcore_train_step(task: RedCoreTask) -> Callable:
             else:
                 res, new_stats = out, state.batch_stats
 
-            lf = task.loss_group
             labels = batch[task.label_key]
-            ce = lf(res["logits"], labels, key="cross_entropy")["total_loss"]
-            ce_A = lf(res["logits_A"], labels, key="cross_entropy")["total_loss"]
-            ce_V = lf(res["logits_V"], labels, key="cross_entropy")["total_loss"]
-            ce_T = lf(res["logits_T"], labels, key="cross_entropy")["total_loss"]
+            sm = batch.get("sample_mask")
+            ce_w = (
+                task.loss_group["cross_entropy"].weight
+                if "cross_entropy" in task.loss_group else 1.0
+            )
+            # padded tail rows excluded (zeroed inputs + label 0 otherwise
+            # bias every aux classifier toward class 0)
+            ce = ce_w * _masked_ce(res["logits"], labels, sm)
+            ce_A = ce_w * _masked_ce(res["logits_A"], labels, sm)
+            ce_V = ce_w * _masked_ce(res["logits_V"], labels, sm)
+            ce_T = ce_w * _masked_ce(res["logits_T"], labels, sm)
 
             def kld(mu, lv, idx):
                 return (
@@ -182,9 +194,7 @@ def make_redcore_eval_step(task: RedCoreTask) -> Callable:
             iA, iV, iT, train=False,
         )
         labels = batch[task.label_key]
-        loss = task.loss_group(res["logits"], labels, key="cross_entropy")[
-            "total_loss"
-        ]
+        loss = _masked_ce(res["logits"], labels, batch.get("sample_mask"))
         out = {
             "loss": loss,
             "preds": jnp.argmax(res["logits"], axis=-1),

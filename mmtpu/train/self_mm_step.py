@@ -42,10 +42,15 @@ class SelfMMTask:
         )
 
 
-def weighted_l1(pred, target, weight=None):
+def weighted_l1(pred, target, weight=None, sample_mask=None):
     pred = pred.reshape(-1)
     target = target.reshape(-1)
     w = jnp.ones_like(pred) if weight is None else weight
+    if sample_mask is not None:
+        w = w * sample_mask
+        return jnp.sum(w * jnp.abs(pred - target)) / jnp.maximum(
+            jnp.sum(sample_mask), 1.0
+        )
     return jnp.mean(w * jnp.abs(pred - target))
 
 
@@ -58,6 +63,7 @@ def make_self_mm_train_step(task: SelfMMTask) -> Callable:
         epoch: jnp.ndarray,
     ):
         idx = batch["sample_idx"]
+        sm = batch.get("sample_mask")
 
         def loss_fn(params):
             variables = {"params": params}
@@ -74,11 +80,15 @@ def make_self_mm_train_step(task: SelfMMTask) -> Callable:
                 outputs, new_stats = out, state.batch_stats
 
             y_f = managers.get_labels("multimodal", idx)
-            total = weighted_l1(outputs["predictions"]["multimodal"], y_f)
+            total = weighted_l1(
+                outputs["predictions"]["multimodal"], y_f, sample_mask=sm
+            )
             for m in ("audio", "video", "text"):
                 y_m = managers.get_labels(m, idx)
                 w = jnp.tanh(jnp.abs(y_m - y_f))
-                total = total + weighted_l1(outputs["predictions"][m], y_m, w)
+                total = total + weighted_l1(
+                    outputs["predictions"][m], y_m, w, sample_mask=sm
+                )
             return total, (outputs, new_stats)
 
         (loss, (outputs, new_stats)), grads = jax.value_and_grad(
@@ -110,11 +120,11 @@ def make_self_mm_train_step(task: SelfMMTask) -> Callable:
                 new = jnp.clip(new, -task.H, task.H)
                 old = mgr.get_labels(m, idx)
                 new = (e - 1.0) / (e + 1.0) * old + 2.0 / (e + 1.0) * new
-                mgr = mgr.update_labels(m, idx, new)
+                mgr = mgr.update_labels(m, idx, new, sample_mask=sm)
             return mgr
 
         managers = jax.lax.cond(epoch > 1, refine, lambda m: m, managers)
-        managers = managers.update_features(features, idx)
+        managers = managers.update_features(features, idx, sample_mask=sm)
         managers = managers.update_centers(exclude_zero=task.exclude_zero)
 
         out = {

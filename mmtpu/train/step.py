@@ -23,10 +23,28 @@ from typing import Any, Callable, Dict, Sequence
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from mmtpu.train.losses import LossFunctionGroup
 from mmtpu.train.state import TrainState
+
+
+def apply_missing_mask(x, mask, invert: bool = False):
+    """Missing-modality zeroing, fused on device (reference applies it
+    per-sample on host, data/base_dataset.py:71-72). invert=True yields the
+    `{mod}_reverse` complement. mask=None → x (or zeros for invert)."""
+    if mask is None:
+        return jnp.zeros_like(x) if invert else x
+    m = mask.reshape(mask.shape[0], *([1] * (x.ndim - 1)))
+    return x * ((1.0 - m) if invert else m)
+
+
+def masked_mean(per_sample, sample_mask):
+    """Mean over real rows only; plain mean when no padding mask."""
+    if sample_mask is None:
+        return jnp.mean(per_sample)
+    return jnp.sum(per_sample * sample_mask) / jnp.maximum(
+        jnp.sum(sample_mask), 1.0
+    )
 
 
 @dataclasses.dataclass
@@ -45,15 +63,10 @@ class ClassificationTask:
     binary_threshold: float = 0.5
 
     def apply(self, variables, batch, *, train: bool, rngs=None, mutable=False):
-        inputs = []
-        for k in self.input_keys:
-            x = batch[k]
-            mask = batch.get(f"{k}_mask")
-            if mask is not None:
-                # missing-modality zeroing, fused on device (reference does
-                # this per-sample on host, data/base_dataset.py:71)
-                x = x * mask.reshape(mask.shape[0], *([1] * (x.ndim - 1)))
-            inputs.append(x)
+        inputs = [
+            apply_missing_mask(batch[k], batch.get(f"{k}_mask"))
+            for k in self.input_keys
+        ]
         return self.model.apply(
             variables, *inputs, train=train, rngs=rngs, mutable=mutable
         )
@@ -128,10 +141,11 @@ def make_train_step(
             out["grad_stats"] = tree_stats(grads)
         return new_state, out
 
-    donate_argnums = (0,) if donate else ()
-    if mesh is not None:
-        return jax.jit(step, donate_argnums=donate_argnums)
-    return jax.jit(step, donate_argnums=donate_argnums)
+    # mesh is accepted for signature parity with callers; SPMD partitioning
+    # comes entirely from the input/state shardings (device_put with
+    # NamedSharding) — jit needs no per-mesh variant.
+    del mesh
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
 def self_loss_per_sample(task: ClassificationTask, logits, batch):
@@ -153,6 +167,8 @@ def self_loss_per_sample(task: ClassificationTask, logits, batch):
 
 
 def make_eval_step(task: ClassificationTask, mesh=None) -> Callable:
+    del mesh  # SPMD comes from input shardings (see make_train_step)
+
     def step(state: TrainState, batch: Dict[str, Any]) -> Dict[str, Any]:
         logits = task.apply(state.variables, batch, train=False)
         sample_mask = batch.get("sample_mask")
@@ -175,9 +191,3 @@ def make_eval_step(task: ClassificationTask, mesh=None) -> Callable:
 
     return jax.jit(step)
 
-
-def batch_shardings(mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
-    return {
-        k: NamedSharding(mesh, P("data", *([None] * (jnp.ndim(v) - 1))))
-        for k, v in batch.items()
-    }

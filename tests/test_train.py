@@ -83,10 +83,12 @@ class TestOptim:
 
 class TestLRControllers:
     def test_step_lr(self):
+        # step() is called after each epoch; its factor applies to the NEXT
+        # epoch (torch last_epoch semantics)
         c = LRController("step", {"step_size": 2, "gamma": 0.1}, base_lr=1.0)
         scales = [c.step() for _ in range(5)]
-        assert scales == [1.0, 1.0, pytest.approx(0.1), pytest.approx(0.1),
-                          pytest.approx(0.01)]
+        assert scales == [1.0, pytest.approx(0.1), pytest.approx(0.1),
+                          pytest.approx(0.01), pytest.approx(0.01)]
 
     def test_plateau(self):
         c = LRController(
@@ -99,12 +101,12 @@ class TestLRControllers:
 
     def test_lambda_eval_quirk(self):
         c = LRController("lambda", {"lr_lambda": "0.95 ** epoch"}, base_lr=1.0)
-        assert c.step() == 1.0
         assert c.step() == pytest.approx(0.95)
+        assert c.step() == pytest.approx(0.95**2)
 
     def test_exponential(self):
         c = LRController("exponential", {"gamma": 0.5}, base_lr=1.0)
-        assert [c.step() for _ in range(3)] == [1.0, 0.5, 0.25]
+        assert [c.step() for _ in range(3)] == [0.5, 0.25, 0.125]
 
 
 def make_recorder():
