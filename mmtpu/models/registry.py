@@ -92,6 +92,7 @@ def _factories() -> Dict[str, Callable[..., Any]]:
         "auvi_subnet": ("mmtpu.models.self_mm", "AuViSubNet"),
         "bert_text_encoder": ("mmtpu.models.bert_text", "BertTextEncoder"),
         "mmin": ("mmtpu.models.mmin", "MMIN"),
+        "mult": ("mmtpu.models.mult", "MultModalTransformer"),
         "redcore": ("mmtpu.models.redcore", "RedCore"),
         "feature_manager": ("mmtpu.train.managers", "FeatureManager"),
         "center_manager": ("mmtpu.train.managers", "CenterManager"),
