@@ -99,7 +99,10 @@ def main(argv=None) -> int:
         return 0
     results = {}
     if not args.skip_train:
-        loop.run()
+        with common.ProfilerSession(
+            getattr(args, "profile", False), cfg.logging.log_path
+        ):
+            loop.run()
     if not args.skip_test:
         results = loop.test(
             splits=[s for s in loaders if s not in ("train", "validation")]
