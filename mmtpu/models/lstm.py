@@ -148,3 +148,8 @@ class LSTMClassifier(nn.Module):
         h = nn.relu(h)
         o = nn.Dense(self.output_size, name="fc2")(h)
         return o, h
+
+
+# Reference ships a near-duplicate LSTMEncoder2 (lstm.py:67, identical but
+# for a broken relu-attention variant); alias for registry/name parity.
+LSTMEncoder2 = LSTMEncoder

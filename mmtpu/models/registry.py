@@ -48,6 +48,7 @@ def _factories() -> Dict[str, Callable[..., Any]]:
         "fcencoder": fc.FcEncoder,
         "fcclassifier": fc.FcClassifier,
         "lstmencoder": lstm.LSTMEncoder,
+        "lstmencoder2": lstm.LSTMEncoder,
         "textcnn": textcnn.TextCNN,
         # blocks / args
         "conv_block": conv.ConvBlock,
