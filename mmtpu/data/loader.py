@@ -83,10 +83,16 @@ class BatchLoader:
             except BaseException as e:  # noqa: BLE001
                 error.append(e)
             finally:
-                try:
-                    q.put_nowait(sentinel)
-                except queue.Full:
-                    pass
+                # The sentinel must never be dropped: with a slower consumer
+                # the queue is routinely full here, and a lost sentinel
+                # deadlocks the consumer on q.get(). Retry with the same
+                # cancel-aware loop used for batches.
+                while not cancel.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

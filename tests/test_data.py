@@ -85,3 +85,41 @@ class TestLoader:
         ds = make_ds(split="train", n=70)
         loader = BatchLoader(ds, batch_size=32, drop_last=True, prefetch=0)
         assert len(list(loader)) == 2
+
+    def test_prefetch_slow_consumer_terminates(self):
+        # Regression: with a consumer slower than the worker the queue is
+        # full when the worker exits; a dropped end-of-epoch sentinel
+        # deadlocks the consumer on q.get() forever.
+        import time
+
+        ds = make_ds(split="train", n=64)
+        loader = BatchLoader(ds, batch_size=8, prefetch=2)
+        seen = 0
+        start = time.monotonic()
+        for _ in loader:
+            time.sleep(0.05)  # slower than batch production
+            seen += 1
+            assert time.monotonic() - start < 30
+        assert seen == 8
+
+    def test_prefetch_matches_sync_iteration(self):
+        ds = make_ds(split="valid", n=30, patterns=["ai", "a"])
+        sync = list(BatchLoader(ds, batch_size=16, prefetch=0))
+        pre = list(BatchLoader(ds, batch_size=16, prefetch=3))
+        assert len(sync) == len(pre)
+        for a, b in zip(sync, pre):
+            np.testing.assert_array_equal(a["labels"], b["labels"])
+            np.testing.assert_array_equal(a["pattern_id"], b["pattern_id"])
+
+    def test_prefetch_worker_error_propagates(self):
+        ds = make_ds(split="train", n=32)
+        loader = BatchLoader(ds, batch_size=8, prefetch=2)
+        class Boom:
+            shape = (32,)
+
+            def __getitem__(self, idx):
+                raise RuntimeError("boom")
+
+        loader.dataset.labels = Boom()  # force an error inside the worker
+        with pytest.raises(RuntimeError, match="boom"):
+            list(loader)
