@@ -65,16 +65,32 @@ def _permute_flatten(w: np.ndarray, chw: Tuple[int, int, int]) -> np.ndarray:
     )
 
 
-def _load_state_dict(path: Path) -> Dict[str, np.ndarray]:
+def _load_state_dict(path: Path, trusted: bool = True) -> Dict[str, np.ndarray]:
     import torch
 
     try:
-        obj = torch.load(str(path), map_location="cpu", weights_only=False)
-    except ModuleNotFoundError:
-        # Reference checkpoints pickle its internal classes (config.*,
-        # models.*, ...). Stub those modules so the tensors unpickle; the
-        # class instances become inert placeholders we never touch.
-        obj = _load_with_stub_modules(path)
+        # Safe path first: weights_only=True restricts unpickling to tensor
+        # payloads and covers plain state-dict checkpoints.
+        obj = torch.load(str(path), map_location="cpu", weights_only=True)
+    except Exception:
+        if not trusted:
+            raise ValueError(
+                f"{path} is not a plain-tensor checkpoint and trusted=False. "
+                "Full unpickling of arbitrary classes is arbitrary code "
+                "execution; pass trusted=True only for files you trust."
+            )
+        logger.warning(
+            f"torch-interop: {path} needs full (unsafe) unpickling — "
+            "treating it as trusted because it was named in the experiment "
+            "config"
+        )
+        try:
+            obj = torch.load(str(path), map_location="cpu", weights_only=False)
+        except ModuleNotFoundError:
+            # Reference checkpoints pickle its internal classes (config.*,
+            # models.*, ...). Stub those modules so the tensors unpickle; the
+            # class instances become inert placeholders we never touch.
+            obj = _load_with_stub_modules(path)
     if isinstance(obj, dict) and "model_state_dict" in obj:
         obj = obj["model_state_dict"]
     if isinstance(obj, dict) and "state_dict" in obj:
@@ -184,6 +200,7 @@ def load_torch_checkpoint(
     target_params: Any,
     target_batch_stats: Optional[Any] = None,
     flatten_layouts: Optional[Dict[str, Tuple[int, int, int]]] = None,
+    trusted: bool = True,
 ) -> Any:
     """Return params (and optionally batch_stats) filled from a .pth file.
 
@@ -191,10 +208,15 @@ def load_torch_checkpoint(
     consume a flattened conv map — torch flattens NCHW (channel-major),
     flax flattens NHWC, so those kernels are permuted accordingly. The
     MNIST/LeNet encoder layouts are applied automatically.
+
+    trusted: checkpoints that are not plain tensor payloads require full
+    pickle deserialization, which can execute arbitrary code. Defaults to
+    True because these paths come from user-authored experiment configs;
+    pass False to reject such files.
     """
     layouts = dict(_DEFAULT_FLATTEN_LAYOUTS)
     layouts.update(flatten_layouts or {})
-    state = _load_state_dict(Path(path))
+    state = _load_state_dict(Path(path), trusted=trusted)
     used: set = set()
 
     def fill(tree: Any, collection: str, prefix: str = "") -> Any:
@@ -246,6 +268,11 @@ def load_torch_checkpoint(
                 matches.append((tk, conv))
         if len(matches) == 1:
             used.add(matches[0][0])
+            logger.info(
+                f"torch-interop: shape-based fallback mapped torch key "
+                f"{matches[0][0]!r} -> leaf {leaf} shape {want} (verify the "
+                f"layer is semantically the intended one)"
+            )
             return matches[0][1]
         logger.warning(
             f"torch-interop: no unique source for leaf {leaf} shape {want} "

@@ -13,7 +13,6 @@ from __future__ import annotations
 import sys
 
 from mmtpu.cli import common, train_multimodal
-from mmtpu.train import loop as loop_mod
 
 
 def main(argv=None) -> int:
@@ -22,19 +21,11 @@ def main(argv=None) -> int:
     cfg = common.load_config(args)
 
     # Route through the generic driver with the AVMNIST JSON nesting.
-    original_init = loop_mod.TrainLoop.__init__
-
-    def patched_init(self, **kwargs):
-        kwargs.setdefault("json_nesting", "avmnist")
-        original_init(self, **kwargs)
-
-    loop_mod.TrainLoop.__init__ = patched_init
-    try:
-        if cfg.experiment.cross_validation:
-            return train_multimodal.main_cross_validation(cfg, args)
-        return train_multimodal.run_single(cfg, args)
-    finally:
-        loop_mod.TrainLoop.__init__ = original_init
+    if cfg.experiment.cross_validation:
+        return train_multimodal.main_cross_validation(
+            cfg, args, json_nesting="avmnist"
+        )
+    return train_multimodal.run_single(cfg, args, json_nesting="avmnist")
 
 
 if __name__ == "__main__":

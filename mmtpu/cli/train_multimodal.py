@@ -45,7 +45,10 @@ def main(argv=None) -> int:
     return run_single(cfg, args)
 
 
-def run_single(cfg, args, cv_no=None) -> int:
+def run_single(cfg, args, cv_no=None, json_nesting="reference", collect=None) -> int:
+    """Train/test one run. `json_nesting` selects the epoch_metrics.json
+    style ('reference' or 'avmnist'); `collect`, when a dict, receives the
+    per-epoch metrics histories and test metrics for CV aggregation."""
     mt = cfg.model.model_type.lower()
     if mt in ("mmin", "redcore"):
         from mmtpu.cli import msa_runners
@@ -104,6 +107,7 @@ def run_single(cfg, args, cv_no=None) -> int:
         group_name=group,
         print_interval=cfg.experiment.train_print_interval_epochs,
         monitor=common.make_monitor(cfg),
+        json_nesting=json_nesting,
     )
 
     if args.dry_run or cfg.experiment.dry_run:
@@ -146,47 +150,64 @@ def run_single(cfg, args, cv_no=None) -> int:
         test_metrics=results,
         embeddings_dir=embeddings_dir,
     )
+    if collect is not None:
+        collect["train"] = loop.metrics_history["train"]
+        collect["validation"] = loop.metrics_history["validation"]
+        collect["test"] = results.get("test", {})
     return 0
 
 
-def main_cross_validation(cfg, args) -> int:
+def aggregate_cv_metrics(fold_metrics):
+    """Mean of every numeric metric per epoch across folds (reference:
+    train_multimodal.py:1037-1083 aggregate_cv_metrics). Accepts either a
+    list-of-epoch-dicts per fold or a single dict per fold (test metrics)."""
+    if not fold_metrics:
+        return []
+    if isinstance(fold_metrics[0], dict):
+        fold_metrics = [[m] for m in fold_metrics]
+    n_epochs = min(len(fold) for fold in fold_metrics)
+    aggregated = []
+    for e in range(n_epochs):
+        values = {}
+        for fold in fold_metrics:
+            for name, v in fold[e].items():
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    values.setdefault(name, []).append(v)
+        aggregated.append({k: float(np.mean(v)) for k, v in values.items()})
+    return aggregated
+
+
+def main_cross_validation(cfg, args, json_nesting="reference") -> int:
     """K-fold driver (reference: train_multimodal.py:920-1102): run each
-    fold with fold-scoped output dirs, then aggregate per-epoch means into
-    *_metrics_agg.json."""
-    import json
-
-    import numpy as np
-
+    fold with fold-scoped output dirs, then aggregate per-epoch means of
+    every metric into {train,validation,test}_metrics_agg.json."""
     folds = int(cfg.experiment.cross_validation)
     base_metrics_path = Path(cfg.logging.metrics_path)
     base_model_path = Path(cfg.logging.model_output_path)
-    fold_histories = []
+    fold_train, fold_val, fold_test = [], [], []
     for fold in range(1, folds + 1):
         console.rule(f"fold {fold}/{folds}")
         cfg.logging.metrics_path = str(base_metrics_path / f"fold_{fold}")
         cfg.logging.model_output_path = str(base_model_path / f"fold_{fold}")
         cfg.logging.create_directories()
-        run_single(cfg, args, cv_no=fold)
-        em = Path(cfg.logging.metrics_path) / "epoch_metrics.json"
-        if em.exists():
-            fold_histories.append(json.loads(em.read_text()))
+        collected = {}
+        run_single(cfg, args, cv_no=fold, json_nesting=json_nesting,
+                   collect=collected)
+        if collected.get("train"):
+            fold_train.append(collected["train"])
+            fold_val.append(collected["validation"])
+        if collected.get("test"):
+            fold_test.append(collected["test"])
 
-    # aggregate: mean over folds per epoch of every numeric leaf
-    agg = {}
-    if fold_histories:
-        n_epochs = min(len(h) for h in fold_histories)
-        for split in ("train", "validation"):
-            per_epoch = []
-            for e in range(n_epochs):
-                losses = [h[e][split]["loss"] for h in fold_histories]
-                per_epoch.append(
-                    {"epoch": e + 1, "loss_mean": float(np.mean(losses)),
-                     "loss_std": float(np.std(losses))}
-                )
-            agg[split] = per_epoch
-        (base_metrics_path / "epoch_metrics_agg.json").write_text(
-            json.dumps(agg, indent=4)
-        )
+    for name, agg in (
+        ("train", aggregate_cv_metrics(fold_train)),
+        ("validation", aggregate_cv_metrics(fold_val)),
+        ("test", aggregate_cv_metrics(fold_test)),
+    ):
+        if agg:
+            (base_metrics_path / f"{name}_metrics_agg.json").write_text(
+                json.dumps(agg, indent=4)
+            )
     cfg.logging.metrics_path = str(base_metrics_path)
     cfg.logging.model_output_path = str(base_model_path)
     return 0

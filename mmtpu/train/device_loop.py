@@ -27,7 +27,7 @@ import numpy as np
 
 from mmtpu.modalities import Modality
 from mmtpu.train.state import TrainState
-from mmtpu.train.step import ClassificationTask, self_loss_per_sample
+from mmtpu.train.step import ClassificationTask
 
 DEFAULT_BUDGET_BYTES = 4 * 2**30  # 4 GiB of HBM for resident data
 
@@ -94,13 +94,7 @@ def make_scan_train_epoch(task: ClassificationTask, data: DeviceResidentData):
                     new_stats = updates["batch_stats"]
                 else:
                     logits, new_stats = out, state.batch_stats
-                if sample_mask is not None:
-                    per = self_loss_per_sample(task, logits, batch)
-                    loss = jnp.sum(per * sample_mask) / jnp.maximum(
-                        jnp.sum(sample_mask), 1.0
-                    )
-                else:
-                    loss = task.loss(logits, batch)
+                loss = task.loss(logits, batch, sample_mask=sample_mask)
                 return loss, (logits, new_stats)
 
             (loss, (logits, new_stats)), grads = jax.value_and_grad(
@@ -130,13 +124,7 @@ def make_scan_eval_epoch(task: ClassificationTask, data: DeviceResidentData):
             batch = _gather_batch(data, xs)
             logits = task.apply(state.variables, batch, train=False)
             sample_mask = batch.get("sample_mask")
-            per = self_loss_per_sample(task, logits, batch)
-            if sample_mask is not None:
-                loss = jnp.sum(per * sample_mask) / jnp.maximum(
-                    jnp.sum(sample_mask), 1.0
-                )
-            else:
-                loss = jnp.mean(per)
+            loss = task.loss(logits, batch, sample_mask=sample_mask)
             ys = {
                 "loss": loss,
                 "preds": task.predictions(logits),

@@ -332,13 +332,17 @@ class TrainLoop:
                 if cands:
                     target = val_metrics[max(cands, key=len)]
                 else:
-                    logger.warning(
-                        f"save_metric {self.save_metric!r} not found in "
-                        f"validation metrics — falling back to loss (min)"
+                    # Fail loudly like the reference (train_multimodal.py:361
+                    # raises on a missing target metric) — silently flipping
+                    # to min-loss would train to a different criterion.
+                    available = sorted(
+                        k for k, v in val_metrics.items()
+                        if isinstance(v, (int, float))
                     )
-                    self.early.mode = "min"
-                    self.ckpt.mode = "min"
-                    target = val_loss
+                    raise ValueError(
+                        f"save_metric {self.save_metric!r} not found in "
+                        f"validation metrics. Available: {available}"
+                    )
             is_best = self.early.step(float(target))
             if is_best:
                 best_metrics = dict(val_metrics)

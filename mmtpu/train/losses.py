@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, Dict, Optional, Set, Union
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -21,69 +22,102 @@ def _as_float(x):
     return x.astype(jnp.float32) if hasattr(x, "astype") else jnp.asarray(x, jnp.float32)
 
 
-def cross_entropy(logits, targets, weight=None, label_smoothing: float = 0.0):
+def _masked_reduce(per_sample, sample_mask=None, weights=None):
+    """Weighted/masked batch mean matching torch semantics:
+    sum(w·m·l) / sum(w·m). Per-sample losses with extra dims are averaged
+    over their non-batch axes first. sample_mask zeroes padded tail rows so
+    fixed-shape batches (SURVEY §5.7) don't bias the loss."""
+    if per_sample.ndim > 1:
+        per_sample = per_sample.reshape(per_sample.shape[0], -1).mean(axis=1)
+    eff = weights
+    if sample_mask is not None:
+        eff = sample_mask if eff is None else eff * sample_mask
+    if eff is None:
+        return jnp.mean(per_sample)
+    return jnp.sum(per_sample * eff) / jnp.maximum(jnp.sum(eff), 1e-8)
+
+
+def cross_entropy(
+    logits, targets, weight=None, label_smoothing: float = 0.0, sample_mask=None
+):
     """Softmax CE over integer class targets (torch CrossEntropyLoss)."""
     targets = targets.astype(jnp.int32)
-    losses = optax.softmax_cross_entropy_with_integer_labels(
-        _as_float(logits), targets
-    )
-    if weight is not None:
-        w = jnp.asarray(weight)[targets]
-        return jnp.sum(losses * w) / jnp.sum(w)
-    return jnp.mean(losses)
+    logits = _as_float(logits)
+    if label_smoothing:
+        n = logits.shape[-1]
+        smoothed = optax.smooth_labels(
+            jax.nn.one_hot(targets, n), label_smoothing
+        )
+        losses = optax.softmax_cross_entropy(logits, smoothed)
+    else:
+        losses = optax.softmax_cross_entropy_with_integer_labels(logits, targets)
+    w = jnp.asarray(weight)[targets] if weight is not None else None
+    return _masked_reduce(losses, sample_mask, w)
 
 
-def nll(log_probs, targets):
+def nll(log_probs, targets, sample_mask=None):
     targets = targets.astype(jnp.int32)
-    return -jnp.mean(jnp.take_along_axis(log_probs, targets[:, None], axis=-1))
+    per = -jnp.take_along_axis(log_probs, targets[:, None], axis=-1)[:, 0]
+    return _masked_reduce(per, sample_mask)
 
 
-def mse(preds, targets):
-    return jnp.mean(jnp.square(_as_float(preds) - _as_float(targets)))
+def mse(preds, targets, sample_mask=None):
+    return _masked_reduce(
+        jnp.square(_as_float(preds) - _as_float(targets)), sample_mask
+    )
 
 
-def l1(preds, targets):
-    return jnp.mean(jnp.abs(_as_float(preds) - _as_float(targets)))
+def l1(preds, targets, sample_mask=None):
+    return _masked_reduce(
+        jnp.abs(_as_float(preds) - _as_float(targets)), sample_mask
+    )
 
 
-def smooth_l1(preds, targets, beta: float = 1.0):
+def smooth_l1(preds, targets, beta: float = 1.0, sample_mask=None):
     d = jnp.abs(_as_float(preds) - _as_float(targets))
-    return jnp.mean(jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta))
+    return _masked_reduce(
+        jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta), sample_mask
+    )
 
 
-def huber(preds, targets, delta: float = 1.0):
+def huber(preds, targets, delta: float = 1.0, sample_mask=None):
     d = jnp.abs(_as_float(preds) - _as_float(targets))
-    return jnp.mean(jnp.where(d < delta, 0.5 * d * d, delta * (d - 0.5 * delta)))
+    return _masked_reduce(
+        jnp.where(d < delta, 0.5 * d * d, delta * (d - 0.5 * delta)), sample_mask
+    )
 
 
-def bce(probs, targets):
+def bce(probs, targets, sample_mask=None):
     p = jnp.clip(_as_float(probs), 1e-7, 1.0 - 1e-7)
     t = _as_float(targets)
-    return -jnp.mean(t * jnp.log(p) + (1.0 - t) * jnp.log(1.0 - p))
+    return _masked_reduce(
+        -(t * jnp.log(p) + (1.0 - t) * jnp.log(1.0 - p)), sample_mask
+    )
 
 
-def bce_with_logits(logits, targets, pos_weight=None):
+def bce_with_logits(logits, targets, pos_weight=None, sample_mask=None):
     logits = _as_float(logits)
     t = _as_float(targets)
     losses = optax.sigmoid_binary_cross_entropy(logits, t)
     if pos_weight is not None:
         w = t * jnp.asarray(pos_weight) + (1.0 - t)
         losses = losses * w
-    return jnp.mean(losses)
+    return _masked_reduce(losses, sample_mask)
 
 
-def kl_div(log_preds, targets):
+def kl_div(log_preds, targets, sample_mask=None):
     t = _as_float(targets)
-    return jnp.mean(jnp.sum(t * (jnp.where(t > 0, jnp.log(t), 0.0) - log_preds), axis=-1))
+    per = jnp.sum(t * (jnp.where(t > 0, jnp.log(t), 0.0) - log_preds), axis=-1)
+    return _masked_reduce(per, sample_mask)
 
 
-def cosine_embedding(x1, x2, target, margin: float = 0.0):
+def cosine_embedding(x1, x2, target, margin: float = 0.0, sample_mask=None):
     sim = jnp.sum(x1 * x2, axis=-1) / (
         jnp.linalg.norm(x1, axis=-1) * jnp.linalg.norm(x2, axis=-1) + 1e-8
     )
     pos = 1.0 - sim
     neg = jnp.maximum(0.0, sim - margin)
-    return jnp.mean(jnp.where(target > 0, pos, neg))
+    return _masked_reduce(jnp.where(target > 0, pos, neg), sample_mask)
 
 
 def identity_loss(x, *_args, **_kwargs):

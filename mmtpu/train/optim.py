@@ -283,7 +283,12 @@ class LRController:
                 key: v for key, v in self.args.items() if key != "lr_lambda"
             }
             local_vars["epoch"] = e
-            return float(eval(expr, {"math": math}, local_vars))  # noqa: S307
+            # Empty __builtins__ keeps the quirk scoped to arithmetic on
+            # epoch/math — without it Python injects the real builtins and a
+            # config file gains full code execution.
+            return float(
+                eval(expr, {"math": math, "__builtins__": {}}, local_vars)  # noqa: S307
+            )
         if k in ("cyclic", "onecycle"):
             max_lr = float(self.args.get("max_lr", self.base_lr))
             total = int(

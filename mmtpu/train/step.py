@@ -76,8 +76,13 @@ class ClassificationTask:
             return (jax.nn.sigmoid(logits) > self.binary_threshold).astype(jnp.int32)
         return jnp.argmax(logits, axis=-1)
 
-    def loss(self, logits, batch) -> jnp.ndarray:
-        return self.loss_group(logits, batch[self.label_key])["total_loss"]
+    def loss(self, logits, batch, sample_mask=None) -> jnp.ndarray:
+        # sample_mask flows into every criterion so padded tail rows are
+        # excluded with the configured weights/kwargs intact (criteria do
+        # sum(w·m·l)/sum(w·m) internally — see losses._masked_reduce).
+        return self.loss_group(
+            logits, batch[self.label_key], sample_mask=sample_mask
+        )["total_loss"]
 
 
 def make_train_step(
@@ -112,14 +117,8 @@ def make_train_step(
                 new_stats = updates["batch_stats"]
             else:
                 logits, new_stats = out, state.batch_stats
-            if sample_mask is not None:
-                # padded tail rows must not contribute to the loss
-                per = self_loss_per_sample(task, logits, batch)
-                loss = jnp.sum(per * sample_mask) / jnp.maximum(
-                    jnp.sum(sample_mask), 1.0
-                )
-            else:
-                loss = task.loss(logits, batch)
+            # padded tail rows must not contribute to the loss
+            loss = task.loss(logits, batch, sample_mask=sample_mask)
             return loss, (logits, new_stats)
 
         (loss, (logits, new_stats)), grads = jax.value_and_grad(
@@ -148,35 +147,13 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def self_loss_per_sample(task: ClassificationTask, logits, batch):
-    """Per-sample (unreduced) loss for masked-mean under padding."""
-    labels = batch[task.label_key]
-    if task.multilabel:
-        import optax
-
-        per = optax.sigmoid_binary_cross_entropy(
-            logits.astype(jnp.float32), labels.astype(jnp.float32)
-        ).mean(axis=-1)
-    else:
-        import optax
-
-        per = optax.softmax_cross_entropy_with_integer_labels(
-            logits.astype(jnp.float32), labels.astype(jnp.int32)
-        )
-    return per
-
-
 def make_eval_step(task: ClassificationTask, mesh=None) -> Callable:
     del mesh  # SPMD comes from input shardings (see make_train_step)
 
     def step(state: TrainState, batch: Dict[str, Any]) -> Dict[str, Any]:
         logits = task.apply(state.variables, batch, train=False)
         sample_mask = batch.get("sample_mask")
-        if sample_mask is not None:
-            per = self_loss_per_sample(task, logits, batch)
-            loss = jnp.sum(per * sample_mask) / jnp.maximum(jnp.sum(sample_mask), 1.0)
-        else:
-            loss = task.loss(logits, batch)
+        loss = task.loss(logits, batch, sample_mask=sample_mask)
         out = {
             "loss": loss,
             "preds": task.predictions(logits),

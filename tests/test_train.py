@@ -198,6 +198,37 @@ class TestSteps:
             float(full["loss"]), float(half["loss"]), rtol=1e-5
         )
 
+    def test_masked_loss_honours_group_weights_and_kwargs(self):
+        # Regression: the padded-batch path used to bypass LossFunctionGroup
+        # and hardcode unweighted CE, silently dropping configured weights,
+        # class weights, and label_smoothing.
+        import optax
+
+        model, state = tiny_state()
+        cls_w = [1.0, 2.0, 0.5]
+        task = ClassificationTask(
+            model=model,
+            loss_group=LossFunctionGroup.from_dict(
+                {"ce": {"loss_name": "cross_entropy", "weight": 3.0,
+                        "loss_kwargs": {"weight": cls_w,
+                                        "label_smoothing": 0.1}}}
+            ),
+            input_keys=("x",),
+        )
+        ev = make_eval_step(task)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 8)),
+                        jnp.float32)
+        labels = jnp.array([0, 1, 2, 0])
+        mask = jnp.array([1.0, 1.0, 0.0, 0.0])
+        out = ev(state, {"x": x, "labels": labels, "sample_mask": mask})
+
+        logits = model.apply(state.variables, x, train=False)
+        smoothed = optax.smooth_labels(jax.nn.one_hot(labels, 3), 0.1)
+        per = optax.softmax_cross_entropy(logits, smoothed)
+        w = jnp.asarray(cls_w)[labels] * mask
+        expected = 3.0 * float(jnp.sum(per * w) / jnp.sum(w))
+        np.testing.assert_allclose(float(out["loss"]), expected, rtol=1e-5)
+
 
 class TestEarlyStopping:
     def test_patience(self):
