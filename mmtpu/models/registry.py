@@ -33,6 +33,35 @@ def _conv_block_args(**kwargs):
     return ConvBlockArgs(**kwargs)
 
 
+def _tolerant(cls):
+    """Mirror reference model constructors that absorb unknown kwargs via
+    **kwargs (models/cmams.py:76, models/avmnist.py:276,
+    models/kinetics_sounds.py:165, models/msa/mmin.py:116,
+    models/msa/redcore.py:160): drop keys that aren't dataclass fields,
+    logging each drop so config typos stay visible."""
+    import dataclasses
+
+    def factory(**kwargs):
+        fields = {f.name for f in dataclasses.fields(cls)}
+        dropped = sorted(k for k in kwargs if k not in fields)
+        if dropped:
+            from mmtpu.utils.logging import get_logger
+
+            get_logger().info(
+                f"{cls.__name__}: ignoring extra config kwargs {dropped} "
+                "(reference constructor absorbs these via **kwargs)"
+            )
+        return cls(**{k: v for k, v in kwargs.items() if k in fields})
+
+    return factory
+
+
+# top-level model families whose reference __init__ ends in **kwargs
+_TOLERANT_NAMES = frozenset(
+    {"avmnist", "cmam", "kineticssounds", "mmin", "redcore"}
+)
+
+
 def _factories() -> Dict[str, Callable[..., Any]]:
     from mmtpu.models import avmnist, conv, fc, fusion, lenet, lstm, resnet, textcnn
 
@@ -102,15 +131,22 @@ def _factories() -> Dict[str, Callable[..., Any]]:
 
     import importlib
 
-    def make_lazy(modpath: str, attr: str):
+    def make_lazy(name: str, modpath: str, attr: str):
         def factory(**kwargs):
             module = importlib.import_module(modpath)
-            return getattr(module, attr)(**kwargs)
+            cls = getattr(module, attr)
+            if name in _TOLERANT_NAMES:
+                return _tolerant(cls)(**kwargs)
+            return cls(**kwargs)
 
         return factory
 
     for name, (modpath, attr) in lazy.items():
-        reg.setdefault(name, make_lazy(modpath, attr))
+        reg.setdefault(name, make_lazy(name, modpath, attr))
+    for name in _TOLERANT_NAMES & set(reg):
+        if not isinstance(reg[name], type):
+            continue
+        reg[name] = _tolerant(reg[name])
     return reg
 
 

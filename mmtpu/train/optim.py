@@ -54,13 +54,15 @@ def _key_str(k) -> str:
 def _group_tx(name: str, kwargs: Dict[str, Any]) -> optax.GradientTransformation:
     """Build the torch-equivalent optax chain for one param group."""
     kw = dict(kwargs)
-    lr = kw.pop("lr", 1e-3)
-    wd = kw.pop("weight_decay", 0.0)
+    # YAML 1.1 parses dot-less scientific notation ('5e-5') as a string;
+    # the reference coerces with float() (config/optimizer_config.py:181,203).
+    lr = float(kw.pop("lr", 1e-3))
+    wd = float(kw.pop("weight_decay", 0.0))
     name = name.lower()
 
     if name == "adam":
-        betas = kw.pop("betas", (0.9, 0.999))
-        eps = kw.pop("eps", 1e-8)
+        betas = [float(b) for b in kw.pop("betas", (0.9, 0.999))]
+        eps = float(kw.pop("eps", 1e-8))
         parts = []
         if wd:
             parts.append(optax.add_decayed_weights(wd))  # coupled L2
@@ -68,11 +70,11 @@ def _group_tx(name: str, kwargs: Dict[str, Any]) -> optax.GradientTransformation
                   optax.scale(-lr)]
         return optax.chain(*parts)
     if name == "adamw":
-        betas = kw.pop("betas", (0.9, 0.999))
-        eps = kw.pop("eps", 1e-8)
+        betas = [float(b) for b in kw.pop("betas", (0.9, 0.999))]
+        eps = float(kw.pop("eps", 1e-8))
         return optax.adamw(lr, b1=betas[0], b2=betas[1], eps=eps, weight_decay=wd)
     if name == "sgd":
-        momentum = kw.pop("momentum", 0.0)
+        momentum = float(kw.pop("momentum", 0.0))
         nesterov = kw.pop("nesterov", False)
         parts = []
         if wd:
@@ -82,9 +84,9 @@ def _group_tx(name: str, kwargs: Dict[str, Any]) -> optax.GradientTransformation
         parts.append(optax.scale(-lr))
         return optax.chain(*parts)
     if name == "rmsprop":
-        alpha = kw.pop("alpha", 0.99)
-        eps = kw.pop("eps", 1e-8)
-        momentum = kw.pop("momentum", 0.0)
+        alpha = float(kw.pop("alpha", 0.99))
+        eps = float(kw.pop("eps", 1e-8))
+        momentum = float(kw.pop("momentum", 0.0))
         parts = []
         if wd:
             parts.append(optax.add_decayed_weights(wd))
@@ -97,11 +99,11 @@ def _group_tx(name: str, kwargs: Dict[str, Any]) -> optax.GradientTransformation
         parts = [optax.add_decayed_weights(wd)] if wd else []
         return optax.chain(*parts, optax.scale_by_rss(), optax.scale(-lr))
     if name == "adadelta":
-        rho = kw.pop("rho", 0.9)
-        eps = kw.pop("eps", 1e-6)
+        rho = float(kw.pop("rho", 0.9))
+        eps = float(kw.pop("eps", 1e-6))
         return optax.adadelta(lr, rho=rho, eps=eps, weight_decay=wd)
     if name == "adamax":
-        betas = kw.pop("betas", (0.9, 0.999))
+        betas = [float(b) for b in kw.pop("betas", (0.9, 0.999))]
         parts = [optax.add_decayed_weights(wd)] if wd else []
         return optax.chain(
             *parts, optax.scale_by_adamax(b1=betas[0], b2=betas[1]), optax.scale(-lr)

@@ -1,16 +1,42 @@
 """CLI surface tests: reference YAMLs drive our entry points unchanged."""
 
+import json
 import os
+import pickle
 import subprocess
 import sys
 from pathlib import Path
 
+import numpy as np
 import pytest
 
 REF_MONO = Path(
     "/root/reference/MML_Suite/configs/avmnist/mono/train_audio_encoder_resnet.yaml"
 )
+REF_NORTH_STAR = Path(
+    "/root/reference/MML_Suite/configs/avmnist/centralised/"
+    "train_avmnist_resnet_pretrained.yaml"
+)
+REF_CMAM = Path(
+    "/root/reference/MML_Suite/configs/mmimdb/centralised/cmams/image_to_text.yaml"
+)
+REF_SELF_MM = Path(
+    "/root/reference/MML_Suite/configs/self-mm/train_self_mm_mosi.yaml"
+)
 REPO = Path(__file__).resolve().parent.parent
+
+_HAVE_AVMNIST = (REPO / "DATA/avmnist/train_subset.csv").exists()
+
+
+def _run_cli(module, config, run_id="99", extra=(), env_extra=None, cwd=REPO,
+             timeout=560):
+    env = {**os.environ, "PYTHONPATH": str(REPO), **(env_extra or {})}
+    r = subprocess.run(
+        [sys.executable, "-m", module, "--config", str(config),
+         "--run_id", run_id, "--cpu", *extra],
+        capture_output=True, text=True, env=env, cwd=cwd, timeout=timeout,
+    )
+    return r
 
 
 @pytest.mark.skipif(
@@ -26,6 +52,122 @@ def test_reference_mono_config_dry_run():
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "dry run complete" in r.stdout
+
+
+@pytest.mark.skipif(
+    not REF_NORTH_STAR.exists() or not _HAVE_AVMNIST,
+    reason="reference configs or AVMNIST index not available",
+)
+@pytest.mark.parametrize(
+    "module", ["mmtpu.cli.train_multimodal", "mmtpu.cli.train_avmnist"]
+)
+def test_north_star_dry_run(module):
+    """The north-star multimodal config drives both generic and
+    AVMNIST-specialized entry points, including pretrained-encoder loading
+    from the round-1 monomodal artifacts."""
+    r = _run_cli(module, REF_NORTH_STAR, run_id="1", extra=["--dry-run"],
+                 env_extra={"EXP_PATH": str(REPO)})
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "dry run complete" in r.stdout
+
+
+@pytest.mark.skipif(not REF_CMAM.exists(), reason="reference configs absent")
+def test_reference_cmam_dry_run(tmp_path):
+    """train_cmam builds base model + CMAM from a reference CMAM YAML.
+    Synthesizes MM-IMDb HDF5 data and the base-model checkpoint the config
+    points at (experiments_output/.../best.pth, msgpack pytree)."""
+    import h5py
+
+    rng = np.random.default_rng(0)
+    data_dir = tmp_path / "DATA" / "mmimdb"
+    data_dir.mkdir(parents=True)
+    for split, n in (("train", 24), ("validation", 12), ("test", 12)):
+        with h5py.File(data_dir / f"{split}.hdf5", "w") as f:
+            f["vgg_features"] = rng.normal(size=(n, 4096)).astype(np.float32)
+            f["features"] = rng.normal(size=(n, 300)).astype(np.float32)
+            f["genres"] = (rng.random((n, 23)) < 0.2).astype(np.float32)
+            f["imdb_ids"] = np.arange(n)
+
+    # base-model checkpoint at the config's pretrained_path (run_id=99)
+    import jax
+    from flax import serialization
+
+    from mmtpu.cli import common
+    from mmtpu.config.cmam import CMAMConfig
+
+    os.environ["EXP_PATH"] = str(tmp_path)
+    try:
+        cfg = CMAMConfig.load(str(REF_CMAM), run_id=99)
+        model = common.build_model_from_config(cfg.model)
+        img = np.zeros((2, 4096), np.float32)
+        txt = np.zeros((2, 300), np.float32)
+        variables = model.init(jax.random.PRNGKey(0), img, txt, train=False)
+    finally:
+        os.environ.pop("EXP_PATH", None)
+    ckpt = tmp_path / Path(str(cfg.model.pretrained_path))
+    ckpt.parent.mkdir(parents=True, exist_ok=True)
+    ckpt.write_bytes(
+        serialization.msgpack_serialize(
+            {"params": serialization.to_state_dict(variables["params"])}
+        )
+    )
+
+    r = _run_cli("mmtpu.cli.train_cmam", REF_CMAM, extra=["--dry-run"],
+                 env_extra={"EXP_PATH": str(tmp_path)}, cwd=tmp_path)
+    assert r.returncode == 0, (r.stderr[-2000:], r.stdout[-500:])
+    assert "dry run complete" in r.stdout
+
+
+@pytest.mark.skipif(not REF_SELF_MM.exists(), reason="reference configs absent")
+def test_self_mm_reference_config_dry_run(tmp_path):
+    """Self-MM reference config drives the self-mm runner (BERT falls back
+    to random init in this zero-egress environment)."""
+    rng = np.random.default_rng(0)
+
+    def split(n):
+        return {
+            "audio": rng.normal(size=(n, 50, 5)).astype(np.float32),
+            "vision": rng.normal(size=(n, 50, 20)).astype(np.float32),
+            "text": rng.normal(size=(n, 3, 50)).astype(np.float32),
+            "classification_labels": rng.integers(0, 3, n),
+            "regression_labels": rng.uniform(-3, 3, n).astype(np.float32),
+            "audio_lengths": rng.integers(5, 50, n),
+            "vision_lengths": rng.integers(5, 50, n),
+        }
+
+    mosi = tmp_path / "DATA" / "MOSI"
+    mosi.mkdir(parents=True)
+    with open(mosi / "aligned_50.pkl", "wb") as f:
+        pickle.dump({"train": split(16), "valid": split(8), "test": split(8)}, f)
+
+    r = _run_cli("mmtpu.cli.train_multimodal", REF_SELF_MM,
+                 extra=["--dry-run"], env_extra={"EXP_PATH": str(tmp_path)},
+                 cwd=tmp_path)
+    assert r.returncode == 0, (r.stderr[-2000:], r.stdout[-500:])
+    assert "dry run complete" in r.stdout
+
+
+def test_cross_validation_end_to_end(tmp_path):
+    """2-fold CV: per-fold outputs plus reference-schema aggregation of
+    every numeric metric (train_multimodal.py:1037-1102)."""
+    import shutil
+
+    cfg_src = REPO / "configs/avmnist/synthetic_cv.yaml"
+    r = _run_cli("mmtpu.cli.train_multimodal", cfg_src, run_id="77",
+                 cwd=tmp_path, timeout=560,
+                 env_extra={"EXP_PATH": str(tmp_path)})
+    assert r.returncode == 0, r.stderr[-2000:]
+    base = tmp_path / "experiments_output/Synthetic_CV/metrics/77"
+    assert (base / "fold_1/epoch_metrics.json").exists()
+    assert (base / "fold_2/epoch_metrics.json").exists()
+    for name in ("train", "validation", "test"):
+        agg = json.loads((base / f"{name}_metrics_agg.json").read_text())
+        assert len(agg) >= 1
+        assert all(isinstance(v, float) for v in agg[0].values())
+        assert "loss" in agg[0]
+    val = json.loads((base / "validation_metrics_agg.json").read_text())
+    assert "classification_accuracy_AI" in val[0]  # every metric, not just loss
+    shutil.rmtree(tmp_path / "experiments_output", ignore_errors=True)
 
 
 def test_unknown_flag_rejected():
