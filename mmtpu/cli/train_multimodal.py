@@ -108,6 +108,7 @@ def run_single(cfg, args, cv_no=None, json_nesting="reference", collect=None) ->
         print_interval=cfg.experiment.train_print_interval_epochs,
         monitor=common.make_monitor(cfg),
         json_nesting=json_nesting,
+        run_id=args.run_id,
     )
 
     if args.dry_run or cfg.experiment.dry_run:
@@ -142,7 +143,9 @@ def run_single(cfg, args, cv_no=None, json_nesting="reference", collect=None) ->
     from mmtpu.reports import ExperimentReportGenerator
 
     ExperimentReportGenerator(
-        Path(cfg.logging.metrics_path) / "report", cfg.experiment.name
+        Path(cfg.logging.metrics_path) / "report",
+        cfg.experiment.name,
+        metrics_dir=cfg.logging.metrics_path,
     ).generate_report(
         metrics_history=loop.metrics_history,
         timing_history=loop.timing_history,

@@ -26,7 +26,7 @@ from mmtpu.train.self_mm_step import (
     make_self_mm_train_step,
 )
 from mmtpu.utils.printing import get_console
-from mmtpu.utils.utils import flatten_dict
+from mmtpu.utils.utils import flatten_leaves
 
 console = get_console()
 
@@ -92,7 +92,7 @@ def run(cfg, args) -> int:
             )
         train_loss = float(np.mean(jax.device_get(losses)))
         train_time = time.time() - t0
-        train_metrics = flatten_dict(recorder.calculate_all_groups(epoch=epoch))
+        train_metrics = flatten_leaves(recorder.calculate_all_groups(epoch=epoch))
 
         recorder.reset()
         losses = []
@@ -104,7 +104,7 @@ def run(cfg, args) -> int:
                 loaders["validation"].pattern_vocab, out.get("sample_mask"),
             )
         val_loss = float(np.mean(jax.device_get(losses)))
-        val_metrics = flatten_dict(recorder.calculate_all_groups(epoch=epoch))
+        val_metrics = flatten_leaves(recorder.calculate_all_groups(epoch=epoch))
 
         console.print(
             f"epoch {epoch}/{cfg.training.epochs} — train {train_loss:.4f}, "

@@ -51,30 +51,48 @@ class MetricsReport:
         metrics_history: Dict[str, List[Dict[str, Any]]],
         test_metrics: Optional[Dict[str, Dict[str, Any]]] = None,
     ) -> Dict[str, str]:
+        """Emit `{split}_metrics.json` in the reference's schema: pandas
+        to_json(orient='records') of the metrics dataframe
+        (experiment_report.py:368-375) — a list of records carrying
+        'index'/'split' fields, plus 'Epoch' for train/validation."""
         self.output_dir.mkdir(parents=True, exist_ok=True)
         written = {}
-        for split, history in metrics_history.items():
-            path = self.output_dir / f"{split}_metrics.json"
-            payload = [
-                {
-                    "epoch": i + 1,
-                    **m,
-                    "by_pattern": split_missing_conditions(
-                        {k: v for k, v in m.items() if isinstance(v, (int, float))}
-                    ),
-                }
-                for i, m in enumerate(history)
-            ]
-            path.write_text(json.dumps(_jsonable(payload), indent=4))
-            written[split] = str(path)
+
+        def drop_cm(m):
+            # reference pops ConfusionMatrix columns from the records
+            # (experiment_report.py:332-339)
+            return {k: v for k, v in m.items() if "ConfusionMatrix" not in k}
+
+        # Reference semantics (experiment_report.py:341-375): all splits are
+        # concatenated into ONE dataframe (union of columns, NaN→null fill),
+        # then split back with reset_index — so 'index' continues across
+        # splits and every record carries every split's columns.
+        splits: List[tuple] = [
+            (split, [drop_cm(m) for m in history])
+            for split, history in metrics_history.items()
+        ]
         for split, metrics in (test_metrics or {}).items():
+            splits.append((split, [drop_cm(metrics)]))
+
+        union: List[str] = []
+        for _, records in splits:
+            for m in records:
+                for k in m:
+                    if k not in union:
+                        union.append(k)
+
+        offset = 0
+        for split, records in splits:
             path = self.output_dir / f"{split}_metrics.json"
-            payload = {
-                **metrics,
-                "by_pattern": split_missing_conditions(
-                    {k: v for k, v in metrics.items() if isinstance(v, (int, float))}
-                ),
-            }
+            payload = []
+            for i, m in enumerate(records):
+                row = {"index": offset + i}
+                row.update({k: m.get(k) for k in union})
+                row["split"] = split
+                if split != "test":
+                    row["Epoch"] = i + 1
+                payload.append(row)
+            offset += len(records)
             path.write_text(json.dumps(_jsonable(payload), indent=4))
             written[split] = str(path)
         return written
@@ -218,8 +236,17 @@ Mean train epoch: %(train_time)s s; mean validation epoch: %(val_time)s s.
 class ExperimentReportGenerator:
     """Runs all subreports (reference generate_report :481)."""
 
-    def __init__(self, output_dir: str | Path, experiment_name: str) -> None:
+    def __init__(
+        self,
+        output_dir: str | Path,
+        experiment_name: str,
+        metrics_dir: Optional[str | Path] = None,
+    ) -> None:
         self.output_dir = Path(output_dir)
+        # reference MetricsReport emits {split}_metrics.json at the metrics
+        # root (harvested goldens live there), while LaTeX/plots go to the
+        # report dir
+        self.metrics_dir = Path(metrics_dir) if metrics_dir else self.output_dir
         self.experiment_name = experiment_name
 
     def generate_report(
@@ -232,7 +259,7 @@ class ExperimentReportGenerator:
         embeddings_dir: Optional[Path] = None,
     ) -> Dict[str, Any]:
         out: Dict[str, Any] = {}
-        out["metrics"] = MetricsReport(self.output_dir).generate(
+        out["metrics"] = MetricsReport(self.metrics_dir).generate(
             metrics_history, test_metrics
         )
         out["timing"] = TimingReport(self.output_dir).generate(timing_history)

@@ -27,7 +27,7 @@ from mmtpu.train.recorder import MetricRecorder
 from mmtpu.train.step import make_eval_step, make_train_step
 from mmtpu.utils.logging import get_logger
 from mmtpu.utils.printing import get_console
-from mmtpu.utils.utils import flatten_dict
+from mmtpu.utils.utils import flatten_leaves
 
 logger = get_logger()
 console = get_console()
@@ -79,8 +79,10 @@ class TrainLoop:
         monitor=None,
         json_nesting: str = "reference",
         device_resident: str = "auto",
+        run_id: Optional[int] = None,
     ) -> None:
         self.json_nesting = json_nesting
+        self.run_id = run_id
         self.task = task
         self.state = state
         self.loaders = loaders
@@ -268,7 +270,9 @@ class TrainLoop:
         for epoch in range(1, self.epochs + 1):
             self.recorder.reset()
             train_loss = self.train_epoch(epoch)
-            train_metrics = flatten_dict(
+            # flatten_leaves: metric keys carry no group prefix, exactly like
+            # the reference output schema (see utils.flatten_leaves)
+            train_metrics = flatten_leaves(
                 self.recorder.calculate_all_groups(epoch=epoch, loss=train_loss)
             )
             train_metrics["loss"] = train_loss
@@ -276,7 +280,7 @@ class TrainLoop:
 
             self.recorder.reset()
             val_loss = self.eval_epoch("validation")
-            val_metrics = flatten_dict(
+            val_metrics = flatten_leaves(
                 self.recorder.calculate_all_groups(
                     epoch=epoch, loss=val_loss, skip_tensorboard=False
                 )
@@ -316,14 +320,15 @@ class TrainLoop:
 
             target = val_metrics.get(self.save_metric)
             if target is None:
-                # flattened keys are '{group}_{metric}[_{PATTERN}]' — match
-                # the metric name as an exact component so 'accuracy' never
-                # selects 'balanced_accuracy'; prefer the longest pattern
-                # suffix (the full-modality one).
+                # flattened keys are '{metric}[_{PATTERN}]' (no group prefix,
+                # reference flatten semantics) — match the metric name as an
+                # exact component so 'accuracy' never selects
+                # 'balanced_accuracy'; prefer the longest pattern suffix
+                # (the full-modality one).
                 import re as _re
 
                 rx = _re.compile(
-                    rf"^{_re.escape(self.group_name)}_{_re.escape(self.save_metric)}(_[A-Z]+)?$"
+                    rf"^{_re.escape(self.save_metric)}(_[A-Z0-9]+)?$"
                 )
                 cands = [
                     k for k in val_metrics
@@ -363,7 +368,14 @@ class TrainLoop:
         return best_metrics or {}
 
     def test(self, splits=("test",)) -> Dict[str, Dict[str, Any]]:
-        """Restore best checkpoint and evaluate the given splits."""
+        """Restore best checkpoint and evaluate the given splits.
+
+        Output schema matches the reference: `{split}_metrics.json` is a
+        one-record list (pandas to_json orient='records' of MetricsReport,
+        experiment_report.py:374) with 'index'/'split' fields, and — for the
+        generic driver's nesting style — a final `{"test": {...}}` entry is
+        appended to epoch_metrics.json (train_multimodal.py:816-856;
+        train_avmnist.py does not append one)."""
         try:
             self.state = self.ckpt.load_checkpoint(self.state, "best")
         except FileNotFoundError:
@@ -373,15 +385,57 @@ class TrainLoop:
             if split not in self.loaders:
                 continue
             self.recorder.reset()
+            t0 = time.time()
             loss = self.eval_epoch(split)
-            metrics = flatten_dict(
+            elapsed = time.time() - t0
+            metrics = flatten_leaves(
                 self.recorder.calculate_all_groups(loss=loss, skip_tensorboard=True)
             )
             metrics["loss"] = loss
             results[split] = metrics
             if self.metrics_path:
                 path = self.metrics_path / f"{split}_metrics.json"
-                path.write_text(json.dumps(_jsonable(metrics), indent=4))
+                record = {
+                    "index": 0,
+                    **{k: v for k, v in metrics.items()
+                       if "ConfusionMatrix" not in k},
+                    "split": split,
+                }
+                path.write_text(json.dumps(_jsonable([record]), indent=4))
+            if split == "test":
+                n = max(len(self.loaders[split]), 1)
+                nested = _nest_epoch_metrics(metrics, self.json_nesting)
+                entry = {
+                    "test": {
+                        "loss": loss,
+                        "timing": {
+                            "total_time": elapsed,
+                            "avg_batch_time": elapsed / n,
+                        },
+                        **nested,
+                    }
+                }
+                if self.json_nesting == "reference":
+                    # the reference's generic test entry has no 'metrics'
+                    # catch-all bucket (train_multimodal.py:828-855 has no
+                    # else-branch) and is appended to epoch_metrics.json
+                    entry["test"].pop("metrics", None)
+                    self.epoch_metrics.append(entry)
+                    self._write_epoch_metrics()
+                elif self.metrics_path is not None:
+                    # train_avmnist.py:846-860 writes its test entry to
+                    # <metrics>/<run_id>/epoch_metrics.json (run_id nested a
+                    # second time), appending if the file exists
+                    sub = self.metrics_path / str(
+                        self.run_id if self.run_id is not None else 1
+                    )
+                    sub.mkdir(parents=True, exist_ok=True)
+                    fp = sub / "epoch_metrics.json"
+                    data = (
+                        json.loads(fp.read_text()) if fp.exists() else []
+                    )
+                    data.append(entry)
+                    fp.write_text(json.dumps(_jsonable(data), indent=4))
         return results
 
     def _write_epoch_metrics(self) -> None:

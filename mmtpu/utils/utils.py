@@ -45,6 +45,25 @@ def flatten_dict(
     return items
 
 
+def flatten_leaves(d: Dict[str, Any]) -> Dict[str, Any]:
+    """Reference-exact flatten (experiment_utils/utils.py:194-217): the
+    reference's flatten_dict DISCARDS parent keys — its prefixing line is
+    commented out — so metric-group names never appear in the output schema
+    ('accuracy_AI', not 'classification_accuracy_AI'). Colliding leaf keys
+    are overwritten in iteration order, as there."""
+    out: Dict[str, Any] = {}
+
+    def walk(x: Dict[str, Any]) -> None:
+        for k, v in x.items():
+            if isinstance(v, dict):
+                walk(v)
+            else:
+                out[str(k)] = v
+
+    walk(d)
+    return out
+
+
 def to_numpy(x: Any) -> np.ndarray:
     """Device array / list → host numpy (one bulk transfer)."""
     return np.asarray(x)

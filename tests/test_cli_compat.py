@@ -166,7 +166,7 @@ def test_cross_validation_end_to_end(tmp_path):
         assert all(isinstance(v, float) for v in agg[0].values())
         assert "loss" in agg[0]
     val = json.loads((base / "validation_metrics_agg.json").read_text())
-    assert "classification_accuracy_AI" in val[0]  # every metric, not just loss
+    assert "accuracy_AI" in val[0]  # every metric, not just loss
     shutil.rmtree(tmp_path / "experiments_output", ignore_errors=True)
 
 

@@ -36,7 +36,19 @@ def test_generate_report(tmp_path):
     assert (tmp_path / "report.tex").exists()
     info = json.loads((tmp_path / "model_info.json").read_text())
     assert info["total_parameters"] == 16
+    # reference records schema: concat-then-split dataframe semantics —
+    # 'index' continues across splits, columns are the union, test has no
+    # Epoch field
     test_payload = json.loads((tmp_path / "test_metrics.json").read_text())
-    assert test_payload["by_pattern"]["AI"]["accuracy"] == 0.85
+    assert test_payload == [
+        {"index": 4, "accuracy_AI": 0.85, "loss": 0.4, "split": "test"}
+    ]
+    train_payload = json.loads((tmp_path / "train_metrics.json").read_text())
+    assert train_payload[0]["index"] == 0
+    assert train_payload[0]["Epoch"] == 1
+    assert train_payload[1]["accuracy_AI"] == 0.9
+    assert train_payload[1]["split"] == "train"
+    val_payload = json.loads((tmp_path / "validation_metrics.json").read_text())
+    assert val_payload[0]["index"] == 2  # continues after the 2 train rows
     tex = (tmp_path / "report.tex").read_text()
     assert "Test\\_Experiment" in tex or "Test Experiment" in tex.replace("\\_", "_")
