@@ -28,15 +28,9 @@ def main(argv=None) -> int:
     cfg = common.load_config(args)
 
     modality = common.infer_monomodal_modality(cfg)
-    encoder_key = f"{modality}_encoder"
-    encoder_spec = cfg.model.kwargs[encoder_key]
+    encoder_spec = _find_encoder_spec(cfg, modality)
     num_classes = common.infer_num_classes(cfg)
-    output_dim = int(
-        cfg.model.kwargs.get(
-            "output_dim", encoder_spec.kwargs.get("hidden_dim", 128)
-            if hasattr(encoder_spec, "kwargs") else 128,
-        )
-    )
+    output_dim = _infer_output_dim(cfg, encoder_spec)
 
     model = build_module(
         "monomodal_encoder",
@@ -122,6 +116,48 @@ def main(argv=None) -> int:
     console.success(f"encoder artifact: {final}")
     print(str(final))
     return 0
+
+
+def _find_encoder_spec(cfg, modality):
+    """Reference encoder-detection heuristics (train_monomodal.py:441-482):
+    `{modality}_encoder` keys first, then UttFusion-style net{A,V,T} keys,
+    then any `*_encoder`/`net*` kwargs entry."""
+    kwargs = cfg.model.kwargs
+    spec = kwargs.get(f"{modality}_encoder")
+    if spec is None:
+        net_key = {"audio": "netA", "video": "netV", "text": "netT"}.get(
+            str(modality)
+        )
+        spec = kwargs.get(net_key) if net_key else None
+    if spec is None:
+        for k, v in kwargs.items():
+            if k.endswith("_encoder") or k.startswith("net"):
+                spec = v
+                break
+    if spec is None:
+        raise ValueError("No encoder found in configuration")
+    return spec
+
+
+def _infer_output_dim(cfg, encoder_spec) -> int:
+    """Reference output-dim heuristics (train_monomodal.py:485-502): spec
+    dims, then model-level dims, then model-type fallbacks."""
+    if "output_dim" in cfg.model.kwargs:
+        return int(cfg.model.kwargs["output_dim"])
+    if hasattr(encoder_spec, "kwargs"):
+        for k in ("output_dim", "hidden_dim", "hidden_size", "embd_size"):
+            if k in encoder_spec.kwargs:
+                return int(encoder_spec.kwargs[k])
+    if "hidden_dim" in cfg.model.kwargs:
+        return int(cfg.model.kwargs["hidden_dim"])
+    mt = cfg.model.model_type.lower()
+    if "mmimdb" in mt:
+        return 512
+    if "avmnist" in mt:
+        return 128
+    if "utt" in mt or "mosi" in mt:
+        return 64
+    return 128
 
 
 class MonomodalTask(ClassificationTask):

@@ -30,7 +30,8 @@ def modalities_for_model(model_type: str):
         ]
     if mt == "mmimdb":
         return [Modality.IMAGE, Modality.TEXT]
-    if mt in ("utt-fusion", "utt_fusion", "self-mm", "mmin", "redcore"):
+    if mt in ("utt-fusion", "utt_fusion", "uttfusionmodel", "self-mm",
+              "mmin", "redcore"):
         return [Modality.AUDIO, Modality.VIDEO, Modality.TEXT]
     raise ValueError(f"Unknown model type: {model_type}")
 

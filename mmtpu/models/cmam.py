@@ -94,3 +94,57 @@ class CMAM(nn.Module):
         else:
             raise ValueError(f"Unknown fusion function: {self.fusion_fn}")
         return self.assoc(z, train=train)
+
+
+class DualCMAM(nn.Module):
+    """Single-input dual-target C-MAM (reference: models/cmams.py:553-895).
+
+    One input-modality encoder feeds TWO decoder MLPs
+    (Linear→ReLU→Dropout→Linear, cmams.py:589-604), each reconstructing a
+    different target modality's embedding. Training sums the two CMAMLoss
+    dicts and classifies through the frozen base model with BOTH
+    reconstructed embeddings substituted (cmams.py:626-727) — see
+    mmtpu/train/cmam_step.py DualCMAMTask.
+    """
+
+    input_encoder: Any
+    shared_encoder_output_size: int
+    decoder_hidden_size: int
+    target_modality_one_embd_size: int
+    target_modality_two_embd_size: int
+    input_modality: Any = "audio"
+    target_modality_one: Any = "video"
+    target_modality_two: Any = "text"
+    dropout: float = 0.1
+    grad_clip: float = 0.0
+    binarize: bool = False
+
+    def setup(self) -> None:
+        from mmtpu.config.spec import ModuleSpec
+
+        enc = self.input_encoder
+        if isinstance(enc, ModuleSpec):
+            enc = enc.build()
+        elif hasattr(enc, "items") and not isinstance(enc, nn.Module):
+            # {modality: encoder} mapping like the reference's
+            # input_encoder_info dict — take the single entry
+            enc = _coerce_encoders(enc)
+            enc = enc[next(iter(sorted(enc)))]
+        self.encoder = enc
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False
+    ) -> tuple:
+        h = self.encoder(x, train=train)
+
+        def decoder(name: str, out_size: int) -> jnp.ndarray:
+            z = nn.Dense(self.decoder_hidden_size, name=f"{name}_fc_0")(h)
+            z = nn.relu(z)
+            z = nn.Dropout(self.dropout, deterministic=not train)(z)
+            return nn.Dense(out_size, name=f"{name}_fc_1")(z)
+
+        return (
+            decoder("decoder_one", self.target_modality_one_embd_size),
+            decoder("decoder_two", self.target_modality_two_embd_size),
+        )

@@ -97,12 +97,18 @@ def _factories() -> Dict[str, Callable[..., Any]]:
     lazy = {
         "utt_fusion": ("mmtpu.models.utt_fusion", "UttFusionModel"),
         "utt-fusion": ("mmtpu.models.utt_fusion", "UttFusionModel"),
+        # shipped MOSI configs say model_type: "UttFusionModel", which the
+        # reference's own resolver (resolvers.py:28 matches only
+        # "utt-fusion") would reject — accept the class name too
+        "uttfusionmodel": ("mmtpu.models.utt_fusion", "UttFusionModel"),
         "mmimdb": ("mmtpu.models.mmimdb", "MMIMDb"),
         "mmimdbmodalityencoder": ("mmtpu.models.mmimdb", "MMIMDbModalityEncoder"),
         "mmimdb_modality_encoder": ("mmtpu.models.mmimdb", "MMIMDbModalityEncoder"),
         "mlp_genre": ("mmtpu.models.mmimdb", "MLPGenreClassifier"),
         "mlp_genre_classifier": ("mmtpu.models.mmimdb", "MLPGenreClassifier"),
         "cmam": ("mmtpu.models.cmam", "CMAM"),
+        "dual_cmam": ("mmtpu.models.cmam", "DualCMAM"),
+        "dualcmam": ("mmtpu.models.cmam", "DualCMAM"),
         "association_network": ("mmtpu.models.cmam", "AssociationNetwork"),
         "input_encoders": ("mmtpu.models.cmam", "InputEncoders"),
         "kineticssounds": ("mmtpu.models.kinetics_sounds", "KineticsSounds"),

@@ -178,3 +178,131 @@ def make_cmam_eval_step(task: CMAMTask) -> Callable:
         return out
 
     return jax.jit(step)
+
+
+@dataclasses.dataclass
+class DualCMAMTask(CMAMTask):
+    """Dual-target C-MAM (reference cmams.py:626-780): one input modality,
+    two reconstructed target embeddings, loss = sum of the two CMAMLoss
+    dicts, classification through the frozen base model with BOTH
+    reconstructions substituted."""
+
+    target_modality_two: str = "text"
+
+    def teacher_embedding_for(self, batch, modality: str) -> jnp.ndarray:
+        saved = self.target_modality
+        try:
+            object.__setattr__(self, "target_modality", modality)
+            return self.teacher_embedding(batch)
+        finally:
+            object.__setattr__(self, "target_modality", saved)
+
+    def teacher_classify_dual(self, rec_one, rec_two, batch) -> jnp.ndarray:
+        letters = self._kwarg_letters()
+        kwargs: Dict[str, Any] = {}
+        for mod, letter in letters.items():
+            if mod == self.target_modality:
+                kwargs[letter] = rec_one
+                kwargs[f"is_embd_{letter}"] = True
+            elif mod == self.target_modality_two:
+                kwargs[letter] = rec_two
+                kwargs[f"is_embd_{letter}"] = True
+            elif mod in batch:
+                kwargs[letter] = self.masked(batch, mod)
+        return self.base_model.apply(self.base_variables, train=False, **kwargs)
+
+
+def make_dual_cmam_train_step(task: DualCMAMTask) -> Callable:
+    def step(state: TrainState, batch: Dict[str, Any], rng):
+        tgt_one = task.teacher_embedding_for(batch, task.target_modality)
+        tgt_two = task.teacher_embedding_for(batch, task.target_modality_two)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            x = task.masked(batch, task.input_modalities[0])
+            out = state.apply_fn(
+                variables, x, train=True, rngs={"dropout": rng},
+                mutable=["batch_stats"] if state.batch_stats else False,
+            )
+            if state.batch_stats:
+                (rec_one, rec_two), updates = out
+                new_stats = updates["batch_stats"]
+            else:
+                (rec_one, rec_two), new_stats = out, state.batch_stats
+            cls_logits = (
+                task.teacher_classify_dual(rec_one, rec_two, batch)
+                if task.cls_from_rec else None
+            )
+            labels = batch.get(task.labels_key) if task.cls_from_rec else None
+            terms_one = task.loss(rec_one, tgt_one, cls_logits=cls_logits,
+                                  cls_labels=labels)
+            terms_two = task.loss(rec_two, tgt_two, cls_logits=cls_logits,
+                                  cls_labels=labels)
+            total = terms_one["total_loss"] + terms_two["total_loss"]
+            terms = {f"rec_{k}_one": v for k, v in terms_one.items()
+                     if k != "total_loss"}
+            terms.update({f"rec_{k}_two": v for k, v in terms_two.items()
+                          if k != "total_loss"})
+            return total, (rec_one, rec_two, cls_logits, terms, new_stats)
+
+        (loss, (rec_one, rec_two, cls_logits, terms, new_stats)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        )
+        new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        out = {
+            "loss": loss,
+            "terms": terms,
+            "rec_embd": rec_one,
+            "rec_embd_two": rec_two,
+            "target_embd": tgt_one,
+            "target_embd_two": tgt_two,
+            "labels": batch.get(task.labels_key),
+        }
+        if cls_logits is not None:
+            out["preds"] = jnp.argmax(cls_logits, axis=-1)
+        if "pattern_id" in batch:
+            out["pattern_id"] = batch["pattern_id"]
+        if "sample_mask" in batch:
+            out["sample_mask"] = batch["sample_mask"]
+        return new_state, out
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_dual_cmam_eval_step(task: DualCMAMTask) -> Callable:
+    def step(state: TrainState, batch: Dict[str, Any]):
+        tgt_one = task.teacher_embedding_for(batch, task.target_modality)
+        tgt_two = task.teacher_embedding_for(batch, task.target_modality_two)
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        x = task.masked(batch, task.input_modalities[0])
+        rec_one, rec_two = state.apply_fn(variables, x, train=False)
+        cls_logits = (
+            task.teacher_classify_dual(rec_one, rec_two, batch)
+            if task.cls_from_rec else None
+        )
+        labels = batch.get(task.labels_key) if task.cls_from_rec else None
+        terms_one = task.loss(rec_one, tgt_one, cls_logits=cls_logits,
+                              cls_labels=labels)
+        terms_two = task.loss(rec_two, tgt_two, cls_logits=cls_logits,
+                              cls_labels=labels)
+        out = {
+            "loss": terms_one["total_loss"] + terms_two["total_loss"],
+            "rec_embd": rec_one,
+            "rec_embd_two": rec_two,
+            "target_embd": tgt_one,
+            "target_embd_two": tgt_two,
+            "labels": batch.get(task.labels_key),
+        }
+        if cls_logits is not None:
+            out["preds"] = jnp.argmax(cls_logits, axis=-1)
+        if "pattern_id" in batch:
+            out["pattern_id"] = batch["pattern_id"]
+        if "sample_mask" in batch:
+            out["sample_mask"] = batch["sample_mask"]
+        return out
+
+    return jax.jit(step)

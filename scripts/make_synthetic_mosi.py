@@ -1,0 +1,65 @@
+"""Generate learnable synthetic CMU-MOSI data at the real dataset's scale.
+
+The reference ships no MOSI assets (configs point at unshipped
+$EXP_PATH/DATA/mosi/aligned_50.pkl; schema per reference data/mosi.py:
+per-split dict of audio (N,50,5), vision (N,50,20), text (N,50,768),
+classification_labels {0,1,2}, regression_labels [-3,3], and per-sample
+lengths). Real split sizes: 1284 train / 229 valid / 686 test.
+
+Generation model (seeded): a latent sentiment s ~ U(-3,3) drives every
+modality — text carries the strongest per-timestep signal, audio/vision
+weaker ones (matching MSA folklore) — so the trimodal UttFusion pipeline,
+its 7-pattern missing-modality evaluation, and the mono-pretrain deltas all
+have real structure to learn.
+
+Usage: python scripts/make_synthetic_mosi.py [out_root=DATA]
+"""
+
+from __future__ import annotations
+
+import pickle
+import sys
+from pathlib import Path
+
+import numpy as np
+
+SPLITS = {"train": 1284, "valid": 229, "test": 686}
+T, D_A, D_V, D_T = 50, 5, 20, 768
+
+
+def _modality(rng, s, lengths, dim, snr):
+    n = s.shape[0]
+    proj = rng.normal(size=(dim,)).astype(np.float32)
+    base = s[:, None, None] * proj[None, None, :] * snr
+    x = base + rng.normal(size=(n, T, dim)).astype(np.float32)
+    # zero past each sample's length (aligned data still carries lengths)
+    t = np.arange(T)[None, :, None]
+    return (x * (t < lengths[:, None, None])).astype(np.float32)
+
+
+def main(out_root: str = "DATA") -> None:
+    rng = np.random.default_rng(50)
+    data = {}
+    for split, n in SPLITS.items():
+        s = rng.uniform(-3, 3, size=n).astype(np.float32)
+        lengths = rng.integers(20, T + 1, size=n)
+        cls = np.where(s < -0.5, 0, np.where(s > 0.5, 2, 1)).astype(np.int64)
+        data[split] = {
+            "audio": _modality(rng, s, lengths, D_A, snr=0.35),
+            "vision": _modality(rng, s, lengths, D_V, snr=0.25),
+            "text": _modality(rng, s, lengths, D_T, snr=0.12),
+            "classification_labels": cls,
+            "regression_labels": s,
+            "audio_lengths": lengths.astype(np.int64),
+            "vision_lengths": lengths.astype(np.int64),
+        }
+        print(f"{split}: {n} samples")
+    out = Path(out_root) / "mosi"
+    out.mkdir(parents=True, exist_ok=True)
+    with open(out / "aligned_50.pkl", "wb") as f:
+        pickle.dump(data, f)
+    print("wrote", out / "aligned_50.pkl")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

@@ -116,3 +116,97 @@ class TestCMAM:
         assert out["target_embd"].shape == (8, 16)
         assert out["preds"].shape == (8,)
         assert {"cosine", "mae", "mse", "total_loss"} <= set(out["terms"])
+
+
+class TestDualCMAM:
+    """Dual-target C-MAM (reference models/cmams.py:553-895)."""
+
+    def _build(self):
+        from mmtpu.train.cmam_step import (
+            DualCMAMTask,
+            make_dual_cmam_eval_step,
+            make_dual_cmam_train_step,
+        )
+
+        netA = build_module("lstmencoder", input_size=5, hidden_size=12,
+                            embd_method="last")
+        netV = build_module("lstmencoder", input_size=20, hidden_size=16,
+                            embd_method="last")
+        netT = build_module("textcnn", input_size=32, embd_size=20)
+        netC = build_module("fcclassifier", input_dim=48, layers=[24],
+                            output_dim=3, dropout=0.0)
+        base = build_module("utt_fusion", netA=netA, netV=netV, netT=netT,
+                            netC=netC)
+        rng = np.random.default_rng(0)
+        B, T = 8, 10
+        batch = {
+            "audio": jnp.asarray(rng.normal(size=(B, T, 5)), jnp.float32),
+            "video": jnp.asarray(rng.normal(size=(B, T, 20)), jnp.float32),
+            "text": jnp.asarray(rng.normal(size=(B, T, 32)), jnp.float32),
+            "labels": jnp.asarray(rng.integers(0, 3, B)),
+            "pattern_id": jnp.zeros((B,), jnp.int32),
+            "sample_mask": jnp.ones((B,)),
+        }
+        base_vars = base.init(
+            {"params": RNG}, batch["audio"], batch["video"], batch["text"],
+            train=False,
+        )
+        dual = build_module(
+            "dual_cmam",
+            input_encoder=build_module("lstmencoder", input_size=5,
+                                       hidden_size=12, embd_method="last"),
+            shared_encoder_output_size=12,
+            decoder_hidden_size=32,
+            target_modality_one_embd_size=16,   # video embd size
+            target_modality_two_embd_size=20,   # text embd size
+            input_modality="audio",
+            target_modality_one="video",
+            target_modality_two="text",
+            dropout=0.0,
+        )
+        dual_vars = dual.init({"params": RNG}, batch["audio"], train=False)
+        tx, _ = build_optimizer(
+            OptimizerConfig(name="Adam", default_kwargs={"lr": 1e-2}),
+            dual_vars["params"],
+        )
+        state = TrainState.create(
+            apply_fn=dual.apply, params=dual_vars["params"],
+            batch_stats=dual_vars.get("batch_stats", {}), tx=tx,
+        )
+        task = DualCMAMTask(
+            cmam_model=dual,
+            base_model=base,
+            base_variables=base_vars,
+            base_model_type="utt-fusion",
+            input_modalities=["audio"],
+            target_modality="video",
+            target_modality_two="text",
+            loss=CMAMLoss(mse_weight=1.0, cosine_weight=1.0),
+        )
+        return (task, state, batch,
+                make_dual_cmam_train_step(task), make_dual_cmam_eval_step(task))
+
+    def test_forward_shapes(self):
+        task, state, batch, train, ev = self._build()
+        out = ev(state, batch)
+        assert out["rec_embd"].shape == (8, 16)
+        assert out["rec_embd_two"].shape == (8, 20)
+        assert out["target_embd"].shape == (8, 16)
+        assert out["target_embd_two"].shape == (8, 20)
+        assert out["preds"].shape == (8,)
+
+    def test_training_reduces_dual_reconstruction_loss(self):
+        task, state, batch, train, ev = self._build()
+        first = float(ev(state, batch)["loss"])
+        key = jax.random.PRNGKey(1)
+        for i in range(40):
+            state, out = train(state, batch, jax.random.fold_in(key, i))
+        last = float(ev(state, batch)["loss"])
+        assert last < first * 0.7, (first, last)
+
+    def test_teacher_frozen(self):
+        task, state, batch, train, ev = self._build()
+        before = jax.tree_util.tree_leaves(task.base_variables)[0].copy()
+        state, _ = train(state, batch, RNG)
+        after = jax.tree_util.tree_leaves(task.base_variables)[0]
+        np.testing.assert_array_equal(before, after)
