@@ -128,11 +128,19 @@ def plot_embeddings_projection(
     method: str = "pca",
     out: str | Path = "embeddings.png",
 ) -> str:
-    """PCA / t-SNE projection (reference plotting.py:625-1046)."""
+    """PCA / t-SNE / UMAP projection (reference plotting.py:665, :781,
+    :933 — _compute_pca/_compute_tsne/_compute_umap)."""
     if method == "tsne":
         from sklearn.manifold import TSNE
 
-        pts = TSNE(n_components=2, init="pca", perplexity=min(30, len(embeddings) - 1)).fit_transform(embeddings)
+        pts = TSNE(
+            n_components=2, init="pca",
+            perplexity=min(30, len(embeddings) - 1),
+        ).fit_transform(embeddings)
+    elif method == "umap":
+        from mmtpu.analysis.umap_lite import umap_embed
+
+        pts = umap_embed(embeddings, n_components=2)
     else:
         centered = embeddings - embeddings.mean(0)
         _, _, vt = np.linalg.svd(centered, full_matrices=False)
@@ -140,6 +148,73 @@ def plot_embeddings_projection(
     fig, ax = plt.subplots(figsize=(5, 4))
     ax.scatter(pts[:, 0], pts[:, 1], c=labels, s=5, cmap="tab10")
     ax.set_title(f"{method.upper()} projection")
+    fig.savefig(out, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return str(out)
+
+
+def get_significance_stars(p_value: float) -> str:
+    """Reference processing_utils.py:272-onward star scheme."""
+    if p_value < 0.001:
+        return "***"
+    if p_value < 0.01:
+        return "**"
+    if p_value < 0.05:
+        return "*"
+    return "ns"
+
+
+def plot_modality_available_results_with_significance(
+    runs_by_experiment: Dict[str, Dict[str, List[float]]],
+    metric_name: str = "",
+    out: str | Path = "pattern_significance.png",
+) -> str:
+    """Per-pattern grouped bars (mean ± std over runs) with pairwise
+    significance stars between the two experiments, mirroring reference
+    plotting.py:249-370.
+
+    runs_by_experiment: {experiment: {PATTERN: [per-run values]}} — exactly
+    two experiments for the pairwise annotation; more are drawn without
+    stars.
+    """
+    from scipy import stats as sstats
+
+    patterns = sorted(
+        {p for runs in runs_by_experiment.values() for p in runs},
+        key=lambda x: (len(x), x),
+    )
+    names = list(runs_by_experiment)
+    fig, ax = plt.subplots(figsize=(1.4 * len(patterns) + 2, 4.5))
+    width = 0.8 / max(len(names), 1)
+    tops = np.zeros(len(patterns))
+    for i, name in enumerate(names):
+        vals = [runs_by_experiment[name].get(p, []) for p in patterns]
+        means = [np.mean(v) if len(v) else np.nan for v in vals]
+        stds = [np.std(v) if len(v) > 1 else 0.0 for v in vals]
+        xs = np.arange(len(patterns)) + i * width
+        ax.bar(xs, means, width, yerr=stds, capsize=3, label=name)
+        tops = np.maximum(tops, np.nan_to_num(np.asarray(means) + stds))
+    if len(names) == 2:
+        for j, p in enumerate(patterns):
+            a = runs_by_experiment[names[0]].get(p, [])
+            b = runs_by_experiment[names[1]].get(p, [])
+            if len(a) >= 2 and len(b) >= 2:
+                _, pv = sstats.ttest_ind(a, b, equal_var=False)
+                star = get_significance_stars(float(pv))
+            elif a and b:
+                star = "ns"
+            else:
+                continue
+            x = j + width / 2
+            y = tops[j] * 1.02 + 1e-3
+            ax.plot([j, j + width], [y, y], lw=1, color="black")
+            ax.text(x, y, star, ha="center", va="bottom", fontsize=9)
+    ax.set_xticks(np.arange(len(patterns)) + width * (len(names) - 1) / 2,
+                  patterns)
+    ax.set_ylabel(metric_name or "metric")
+    ax.set_xlabel("available modalities")
+    ax.legend()
+    ax.grid(alpha=0.3, axis="y")
     fig.savefig(out, dpi=120, bbox_inches="tight")
     plt.close(fig)
     return str(out)

@@ -33,30 +33,65 @@ logger = get_logger()
 DEFAULT_EXCLUDE = (r"[Bb]atch[Nn]orm", r"bn_?\d*", r"[Dd]ropout")
 
 
+# Per-leaf statistic vector computed ON DEVICE in the fused step (the
+# reference stores full tensors and computes these offline,
+# monitoring/analysis/stats.py:12-55 — we compute the same measures at
+# capture time so only a 17-float bundle crosses the host boundary).
+STAT_COLUMNS = (
+    "l2", "mean", "std", "min", "max",
+    "l1", "median", "p5", "p25", "p75", "p95",
+    "zero_fraction", "positive_fraction", "negative_fraction",
+    "skewness", "kurtosis", "saturation_fraction",
+)
+
+
+def _leaf_stats(leaf: jnp.ndarray) -> jnp.ndarray:
+    x = jnp.asarray(leaf, jnp.float32).reshape(-1)
+    mean = jnp.mean(x)
+    std = jnp.std(x)
+    centered = x - mean
+    safe = jnp.maximum(std, 1e-12)
+    p5, p25, p50, p75, p95 = jnp.percentile(
+        x, jnp.asarray([5.0, 25.0, 50.0, 75.0, 95.0])
+    )
+    return jnp.stack(
+        [
+            jnp.linalg.norm(x),
+            mean,
+            std,
+            jnp.min(x),
+            jnp.max(x),
+            jnp.sum(jnp.abs(x)),
+            p50,
+            p5,
+            p25,
+            p75,
+            p95,
+            jnp.mean(jnp.abs(x) < 1e-7),
+            jnp.mean(x > 0),
+            jnp.mean(x < 0),
+            jnp.mean((centered / safe) ** 3),
+            jnp.mean((centered / safe) ** 4) - 3.0,
+            jnp.mean(jnp.abs(x) > 0.99),
+        ]
+    )
+
+
 def tree_stats(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
-    """Per-leaf [l2, mean, std, min, max] — computed on device, fetched as
-    one small bundle."""
+    """Per-leaf STAT_COLUMNS vector — computed on device, fetched as one
+    small bundle."""
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
     out = {}
     for path, leaf in flat:
         name = prefix + "/".join(
             str(getattr(k, "key", getattr(k, "idx", k))) for k in path
         )
-        leaf = jnp.asarray(leaf, jnp.float32)
-        out[name] = jnp.stack(
-            [
-                jnp.linalg.norm(leaf.reshape(-1)),
-                jnp.mean(leaf),
-                jnp.std(leaf),
-                jnp.min(leaf),
-                jnp.max(leaf),
-            ]
-        )
+        out[name] = _leaf_stats(leaf)
     return out
 
 
 class ExperimentMonitor:
-    STAT_COLUMNS = ("l2", "mean", "std", "min", "max")
+    STAT_COLUMNS = STAT_COLUMNS
 
     def __init__(self, config: MonitorConfig, output_path: str) -> None:
         self.config = config
@@ -143,6 +178,13 @@ class ExperimentMonitor:
 
     def record_weights(self, params: Any) -> None:
         host = jax.device_get(tree_stats(params))
+        raw = {}
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        for path, leaf in flat:
+            name = "/".join(
+                str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+            )
+            raw[name] = leaf
         for name, s in host.items():
             if not self._keep(name):
                 continue
@@ -152,6 +194,27 @@ class ExperimentMonitor:
                 np.asarray(s),
                 {"columns": ",".join(self.STAT_COLUMNS)},
             )
+            # matrix-shape measures the scalar bundle can't carry
+            # (reference compute_weight_stats, stats.py:58-73)
+            leaf = np.asarray(jax.device_get(raw[name]))
+            if leaf.ndim == 2 and min(leaf.shape) > 1:
+                sv = np.linalg.svd(leaf, compute_uv=False)
+                tol = sv.max() * max(leaf.shape) * np.finfo(np.float32).eps
+                spectral = {
+                    "spectral_norm": float(sv[0]),
+                    "effective_rank": float(np.sum(sv > tol)),
+                    "condition_number": float(
+                        sv[0] / max(sv[-1], np.finfo(np.float32).tiny)
+                    ),
+                }
+                if leaf.shape[0] == leaf.shape[1]:
+                    spectral["symmetry"] = float(np.mean(np.abs(leaf - leaf.T)))
+                self.storage.append(
+                    "weights",
+                    f"epoch_{self.epoch}/{name}__spectral",
+                    np.asarray(list(spectral.values()), np.float32),
+                    {"columns": ",".join(spectral.keys())},
+                )
         if self.config.enable_layer_convergence:
             # convergence proxy: per-layer weight L2 trajectory
             l2 = np.asarray([host[k][0] for k in sorted(host)])

@@ -1,0 +1,197 @@
+"""Post-hoc analysis: UMAP projection, per-pattern significance plots, and
+the run-corpus processing toolkit (reference results_processing/*)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from mmtpu.analysis import plotting, processing
+
+
+@pytest.fixture()
+def clustered_points():
+    rng = np.random.default_rng(0)
+    centers = rng.normal(scale=8.0, size=(3, 16))
+    pts = np.concatenate(
+        [c + rng.normal(scale=0.5, size=(40, 16)) for c in centers]
+    ).astype(np.float32)
+    labels = np.repeat(np.arange(3), 40)
+    return pts, labels
+
+
+class TestUMAP:
+    def test_embedding_shape_and_determinism(self, clustered_points):
+        from mmtpu.analysis.umap_lite import umap_embed
+
+        pts, _ = clustered_points
+        e1 = umap_embed(pts, n_epochs=50, random_state=7)
+        e2 = umap_embed(pts, n_epochs=50, random_state=7)
+        assert e1.shape == (120, 2)
+        np.testing.assert_allclose(e1, e2)
+
+    def test_separates_clusters(self, clustered_points):
+        from mmtpu.analysis.umap_lite import umap_embed
+
+        pts, labels = clustered_points
+        emb = umap_embed(pts, n_epochs=100, random_state=0)
+        # cluster centroids in embedding space are farther apart than the
+        # mean within-cluster spread
+        cents = np.stack([emb[labels == k].mean(0) for k in range(3)])
+        spread = np.mean(
+            [np.linalg.norm(emb[labels == k] - cents[k], axis=1).mean()
+             for k in range(3)]
+        )
+        sep = min(
+            np.linalg.norm(cents[a] - cents[b])
+            for a in range(3) for b in range(a + 1, 3)
+        )
+        assert sep > 2 * spread, (sep, spread)
+
+    def test_plot_entrypoint(self, clustered_points, tmp_path):
+        pts, labels = clustered_points
+        out = plotting.plot_embeddings_projection(
+            pts, labels, method="umap", out=tmp_path / "u.png"
+        )
+        assert (tmp_path / "u.png").exists(), out
+
+
+class TestSignificancePlot:
+    def test_two_experiment_stars(self, tmp_path):
+        rng = np.random.default_rng(0)
+        runs = {
+            "scratch": {
+                "AI": list(rng.normal(0.85, 0.01, 5)),
+                "A": list(rng.normal(0.60, 0.02, 5)),
+            },
+            "pretrained": {
+                "AI": list(rng.normal(0.95, 0.01, 5)),
+                "A": list(rng.normal(0.80, 0.02, 5)),
+            },
+        }
+        out = plotting.plot_modality_available_results_with_significance(
+            runs, metric_name="accuracy", out=tmp_path / "sig.png"
+        )
+        assert (tmp_path / "sig.png").exists(), out
+
+    def test_star_scheme(self):
+        assert plotting.get_significance_stars(0.0001) == "***"
+        assert plotting.get_significance_stars(0.005) == "**"
+        assert plotting.get_significance_stars(0.03) == "*"
+        assert plotting.get_significance_stars(0.2) == "ns"
+
+
+def _fake_runs(tmp_path, n_runs=4):
+    rng = np.random.default_rng(1)
+    files = []
+    for r in range(1, n_runs + 1):
+        d = tmp_path / "metrics" / str(r)
+        d.mkdir(parents=True)
+        rec = {
+            "index": 0,
+            "accuracy_ATV": float(rng.normal(0.9, 0.01)),
+            "accuracy_A": float(rng.normal(0.6, 0.02)),
+            "f1_weighted_ATV": float(rng.normal(0.88, 0.01)),
+            "f1_weighted_A": float(rng.normal(0.55, 0.02)),
+            "loss": 0.3,
+            "split": "test",
+        }
+        (d / "test_metrics.json").write_text(json.dumps([rec]))
+        val = [
+            {"index": e, "accuracy_ATV": 0.5 + 0.1 * e,
+             "accuracy_A": 0.4 + 0.05 * e, "loss": 1.0 - 0.1 * e,
+             "split": "validation", "Epoch": e + 1}
+            for e in range(3)
+        ]
+        (d / "validation_metrics.json").write_text(json.dumps(val))
+        files.append(d)
+    return files
+
+
+class TestProcessingToolkit:
+    def test_run_discovery_and_extractors(self, tmp_path):
+        files = _fake_runs(tmp_path)
+        assert processing.get_run_data(tmp_path) == files
+        assert processing.extract_modality_availability("f1_weighted_AI") == "AI"
+        assert processing.extract_metric("f1_weighted_AI") == "f1_weighted"
+
+    def test_load_all_test_metrics_and_stats(self, tmp_path):
+        files = _fake_runs(tmp_path)
+        df = processing.load_all_test_metrics(files)
+        assert len(df) == 4 and "loss" not in df.columns
+        indexed = processing.to_metric_modality_index(df)
+        assert ("accuracy", "ATV") in indexed.index
+        stats = processing.calculate_stats(indexed)
+        basic = stats["basic_stats"]
+        assert float(basic.loc[("accuracy", "ATV"), "n_runs"]) == 4
+        ci = stats["confidence_intervals"]
+        assert (ci["ci_upper"] >= ci["ci_lower"]).all()
+
+    def test_within_modality_significance(self, tmp_path):
+        files = _fake_runs(tmp_path)
+        indexed = processing.to_metric_modality_index(
+            processing.load_all_test_metrics(files)
+        )
+        chance, baseline = processing.calculate_within_modality_stats(
+            indexed, {"accuracy": 0.5}, baseline_modality="ATV"
+        )
+        assert set(chance["compared_to"]) == {"chance"}
+        assert (baseline["Modalities Available"] == "A").all()
+        assert "p_value_corrected" in chance.columns
+        # A-pattern accuracy is clearly below the ATV baseline
+        assert (baseline["p_value"] < 0.01).all()
+
+    def test_fdr_bh_matches_known_case(self):
+        p = [0.01, 0.04, 0.03, 0.005]
+        corrected = processing.fdr_bh(p)
+        # BH: sorted p * n/rank with step-up monotonicity
+        assert corrected[3] == pytest.approx(0.02)   # 0.005*4/1
+        assert corrected[0] == pytest.approx(0.02)   # 0.01*4/2
+        assert corrected[1] == pytest.approx(0.04)   # 0.04*4/4
+        assert corrected[2] == pytest.approx(0.04)   # 0.03*4/3 -> step-up
+
+    def test_validation_metrics_pipeline(self, tmp_path):
+        files = _fake_runs(tmp_path)
+        idf = processing.load_all_validation_metrics(files)
+        split = processing.split_validation_metrics_by_available_modalities(
+            idf, ["ATV", "A"]
+        )
+        assert "accuracy" in split
+        assert list(split["accuracy"].columns) == ["ATV", "A"]
+        assert len(split["accuracy"]) == 3  # epochs
+
+    def test_latex_writer(self, tmp_path):
+        files = _fake_runs(tmp_path)
+        indexed = processing.to_metric_modality_index(
+            processing.load_all_test_metrics(files)
+        )
+        out = tmp_path / "table.tex"
+        processing.write_latex_to_file(
+            processing.calculate_stats(indexed)["basic_stats"], out
+        )
+        text = out.read_text()
+        assert "\\begin{table}" in text and "landscape" in text
+
+    def test_confusion_matrix_helpers(self, tmp_path):
+        cms = {"AI": [np.eye(3, dtype=int) * (i + 1) for i in range(2)]}
+        np.save(tmp_path / "confusion_matrices_test.npy", cms,
+                allow_pickle=True)
+        loaded = processing.load_confusion_matrices(tmp_path, "test")
+        assert set(loaded) == {"AI"}
+        all_cms = processing.load_all_confusion_matrices([tmp_path], "test")
+        means = processing.compute_mean_confusion_matrix_per_epoch(
+            {k: v["AI"] for k, v in all_cms.items()}
+        )
+        assert len(means) == 2
+        np.testing.assert_array_equal(means[0], np.eye(3, dtype=int))
+
+    def test_embeddings_loader(self, tmp_path):
+        d = tmp_path / "embeddings"
+        d.mkdir()
+        np.save(d / "audio_embeddings.npy", np.ones((5, 8)))
+        emb = processing.load_embeddings(tmp_path, "audio")
+        assert emb.shape == (5, 8)
+        np.save(d / "audio_reconstructions.npy", np.zeros((5, 8)))
+        both = processing.load_embeddings(tmp_path, "audio",
+                                          include_reconstructions=True)
+        assert both.shape == (5, 8, 2)
