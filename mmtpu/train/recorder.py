@@ -51,7 +51,9 @@ class MetricRecorder:
         self.writer = None
         if tensorboard_path:
             try:
-                from torch.utils.tensorboard import SummaryWriter
+                # pure-Python event writer — keeps torch out of the training
+                # runtime (torch remains only in checkpoints/torch_interop)
+                from mmtpu.utils.tb_writer import SummaryWriter
 
                 self.writer = SummaryWriter(log_dir=str(tensorboard_path))
             except Exception as e:  # pragma: no cover
