@@ -2,6 +2,7 @@
 the run-corpus processing toolkit (reference results_processing/*)."""
 
 import json
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -195,3 +196,42 @@ class TestProcessingToolkit:
         both = processing.load_embeddings(tmp_path, "audio",
                                           include_reconstructions=True)
         assert both.shape == (5, 8, 2)
+
+
+class TestVisualiser:
+    @pytest.fixture()
+    def runs_df(self):
+        import pandas as pd
+
+        rng = np.random.default_rng(0)
+        rows = []
+        for cond, base in (("Full", 0.9), ("Audio Only", 0.6),
+                           ("Image Only", 0.7)):
+            for _ in range(6):
+                rows.append({
+                    "Modality Availability": cond,
+                    "accuracy": float(rng.normal(base, 0.02)),
+                    "f1_weighted": float(rng.normal(base - 0.05, 0.02)),
+                })
+        return pd.DataFrame(rows)
+
+    def test_create_all_visualizations(self, runs_df, tmp_path):
+        from mmtpu.analysis.visualiser import ExperimentVisualiser
+
+        vis = ExperimentVisualiser(tmp_path)
+        out = vis.create_all_visualizations(
+            runs_df, ["accuracy", "f1_weighted"], reference_condition="Full"
+        )
+        assert len(out) == 9
+        for path in out.values():
+            assert Path(path).exists()
+
+    def test_validation_over_epochs(self, tmp_path):
+        from mmtpu.analysis.visualiser import ExperimentVisualiser
+
+        vis = ExperimentVisualiser(tmp_path)
+        p = vis.plot_validation_over_epochs(
+            {"Full": [0.5, 0.7, 0.8], "Audio Only": [0.4, 0.5, 0.55]},
+            "accuracy",
+        )
+        assert Path(p).exists()
