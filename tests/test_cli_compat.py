@@ -170,6 +170,33 @@ def test_cross_validation_end_to_end(tmp_path):
     shutil.rmtree(tmp_path / "experiments_output", ignore_errors=True)
 
 
+@pytest.mark.parametrize(
+    "config", ["configs/mosi/synthetic_mmin.yaml",
+               "configs/mosi/synthetic_utt_fusion.yaml"]
+)
+def test_msa_runner_dry_run(config):
+    """MMIN routes through msa_runners; UttFusion through the generic
+    driver — both from the multimodal CLI."""
+    r = _run_cli("mmtpu.cli.train_multimodal", REPO / config,
+                 extra=["--dry-run"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "dry run complete" in r.stdout
+
+
+def test_dryrun_multichip_in_process():
+    """The driver-facing multi-chip contract: a full sharded train step on
+    an 8-device mesh (conftest provisions 8 virtual CPU devices)."""
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    try:
+        from __graft_entry__ import dryrun_multichip
+
+        dryrun_multichip(8)
+    finally:
+        sys.path.remove(str(REPO))
+
+
 def test_unknown_flag_rejected():
     r = subprocess.run(
         [sys.executable, "-m", "mmtpu.cli.train_multimodal", "--nope"],
