@@ -32,7 +32,15 @@ class EnhancedConsole:
     """Console + named progress tasks; degrades to plain stdout."""
 
     def __init__(self, enable_progress: Optional[bool] = None) -> None:
-        self._rich = _RichConsole() if _HAS_RICH else None
+        theme = None
+        if _HAS_RICH:
+            try:
+                from mmtpu.utils.themes import get_theme
+
+                theme = get_theme()
+            except Exception:  # pragma: no cover
+                theme = None
+        self._rich = _RichConsole(theme=theme) if _HAS_RICH else None
         if enable_progress is None:
             enable_progress = _HAS_RICH and sys.stdout.isatty()
         self._progress: Optional["Progress"] = None
