@@ -90,8 +90,7 @@ def measure(B, precision, steps=100, warmup=10):
 
     flops = None
     try:
-        lowered = jax.jit(step.__wrapped__ if hasattr(step, "__wrapped__") else step)
-        compiled = lowered.lower(state, batch, rng).compile()
+        compiled = step.lower(state, batch, rng).compile()
         cost = compiled.cost_analysis()
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
         flops = float(cost.get("flops", 0.0)) or None

@@ -49,14 +49,14 @@ def main(out_root: str = "DATA") -> None:
             genres[i, idx] = 1.0
         # features see a corrupted label view: the F1 ceiling stays < 1
         corrupted = genres.copy()
-        drop = (rng.random(genres.shape) < 0.25) & (genres > 0)
+        drop = (rng.random(genres.shape) < 0.20) & (genres > 0)
         spurious = (rng.random(genres.shape) < 0.02) & (genres == 0)
         corrupted[drop] = 0.0
         corrupted[spurious] = 1.0
-        img = corrupted @ img_emb * 0.03 + rng.normal(
+        img = corrupted @ img_emb * 0.04 + rng.normal(
             size=(n, D_IMG)
         ).astype(np.float32)
-        txt = corrupted @ txt_emb * 0.10 + rng.normal(
+        txt = corrupted @ txt_emb * 0.22 + rng.normal(
             size=(n, D_TXT)
         ).astype(np.float32)
         with h5py.File(out / f"{split}.hdf5", "w") as f:
