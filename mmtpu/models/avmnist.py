@@ -93,6 +93,23 @@ class MNISTImage(nn.Module):
         return nn.Dense(self.hidden_dim, name="fc")(x)
 
 
+class _DenseParams(nn.Module):
+    """kernel/bias with nn.Dense's exact param naming, no compute — lets
+    the caller choose the execution path (plain XLA vs fused Pallas)."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class AVMNIST(nn.Module):
     """Late-fusion audio+image classifier."""
 
@@ -121,13 +138,33 @@ class AVMNIST(nn.Module):
         image = I if is_embd_I else self.image_encoder(I, train=train)
         fused = jnp.concatenate([audio, image], axis=1)
 
-        x = nn.Dense(self.hidden_dim, name="fc_fusion")(fused)
-        x = nn.relu(x)
+        # Head params declared explicitly (same names/shapes as nn.Dense —
+        # checkpoints are interchangeable) so the eval path can run the
+        # whole MLP as ONE Pallas kernel. Measured (v5e, scripts/
+        # bench_kernels.py): fwd 0.776 ms vs XLA 1.212 ms at B=1024
+        # (-36%), 1.003 vs 1.119 at B=128; the training path stays XLA
+        # because fwd+bwd with the recompute VJP is slower there.
+        dims = (fused.shape[-1], self.hidden_dim, self.hidden_dim // 2,
+                NUM_CLASSES)
+        names = ("fc_fusion", "fc_intermediate", "fc_out")
+        ws, bs = [], []
+        for name, d_in, d_out in zip(names, dims[:-1], dims[1:]):
+            k, b = _DenseParams(d_in, d_out, name=name)()
+            ws.append(k)
+            bs.append(b)
+
+        import jax as _jax
+
+        if not train and _jax.default_backend() == "tpu":
+            from mmtpu.ops.fused_mlp import fused_mlp
+
+            return fused_mlp(fused, tuple(ws), tuple(bs))
+
+        x = nn.relu(fused @ ws[0] + bs[0])
         if self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = nn.Dense(self.hidden_dim // 2, name="fc_intermediate")(x)
-        x = nn.relu(x)
-        return nn.Dense(NUM_CLASSES, name="fc_out")(x)
+        x = nn.relu(x @ ws[1] + bs[1])
+        return x @ ws[2] + bs[2]
 
     def encode(self, A: jnp.ndarray, I: jnp.ndarray, train: bool = False):
         """Per-modality embeddings (reference get_embeddings :362-401)."""

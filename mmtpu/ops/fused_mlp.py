@@ -14,6 +14,13 @@ layers are tiny; rematerialization is cheaper than storing activations).
 Weights are zero-padded to lane multiples (128) at trace time — padding is
 compile-time constant so XLA folds it; zero columns/rows contribute nothing.
 Falls back to plain XLA ops on non-TPU backends.
+
+Measured (v5e, scripts/bench_kernels.py, AVMNIST head 192→128→64→10,
+ms/call): forward B=1024 pallas 0.776 vs XLA 1.212 (−36%), B=128 1.003 vs
+1.119; forward+backward loses (the recompute VJP pays the layers twice), so
+the production wiring (models/avmnist.py fusion head) uses the kernel on
+the EVAL path only — which is also where the workload multiplies (the
+missing-pattern evaluation visits samples × patterns).
 """
 
 from __future__ import annotations

@@ -12,10 +12,17 @@ Backward = custom VJP that recomputes through a pure-XLA reference scan
 
 Falls back to the XLA reference on non-TPU backends.
 
-Measured (v5e, B=128 T=50 H=128): 0.59 ms/call vs XLA scan 0.48 ms/call —
-XLA's scan already pipelines this shape well, so the flax 'rnn' backend
-stays the default; the kernel is kept as the tuning base for shapes where
-the per-step launch overhead dominates (small H / long T).
+Measured (v5e, scripts/bench_kernels.py, ms/call fwd):
+    B=128 T=50  H=32   pallas 1.501 vs XLA 1.794  (-16%)
+    B=128 T=50  H=64   pallas 1.163 vs XLA 1.150  (parity)
+    B=128 T=50  H=128  pallas 0.811 vs XLA 0.790  (parity)
+    B=32  T=200 H=32   pallas 0.734 vs XLA 1.230  (-40%)
+    B=32  T=400 H=64   pallas 0.872 vs XLA 1.914  (-54%)
+The serial per-step cost dominates at small H / long T, where the
+VMEM-resident kernel wins big; at the shipped MOSI shapes (T=50, H>=64)
+XLA's scan is at parity. `lstm_sequence` therefore dispatches BY SHAPE
+(pallas when T >= 3·H or H <= 32) — the fused wi/wh parameter layout is
+identical either way, so checkpoints don't depend on the dispatch.
 """
 
 from __future__ import annotations
@@ -155,10 +162,16 @@ def lstm_sequence(
     c0: jnp.ndarray,
     lengths: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
-    """xw: (B,T,4H) pre-projected inputs; wh: (H,4H). Returns (outputs, (h,c))."""
+    """xw: (B,T,4H) pre-projected inputs; wh: (H,4H). Returns (outputs, (h,c)).
+
+    Shape-dispatched: the Pallas kernel runs where it measurably wins
+    (small H / long T — see module header); XLA scan elsewhere."""
     if jax.default_backend() != "tpu":
         return _xla_lstm(xw, wh, h0, c0, lengths)
-    return _pallas_lstm(xw, wh, h0, c0, lengths)
+    H, T = wh.shape[0], xw.shape[1]
+    if T >= 3 * H or H <= 32:
+        return _pallas_lstm(xw, wh, h0, c0, lengths)
+    return _xla_lstm(xw, wh, h0, c0, lengths)
 
 
 def _fwd(xw, wh, h0, c0, lengths):
