@@ -218,3 +218,56 @@ def plot_modality_available_results_with_significance(
     fig.savefig(out, dpi=120, bbox_inches="tight")
     plt.close(fig)
     return str(out)
+
+
+def create_video_from_pngs(
+    image_paths: Sequence[str | Path],
+    output_path: str | Path,
+    fps: int = 24,
+    linger_time_seconds: float = 3.0,
+    size: Optional[tuple] = None,
+    codec: str = "mp4v",
+) -> None:
+    """Stitch epoch plots into a video, lingering on each frame (reference
+    plotting.py:565-623). Falls back to an animated GIF via PIL when OpenCV
+    is unavailable."""
+    paths = [Path(p) for p in image_paths]
+    if not paths:
+        raise ValueError("The list of image paths is empty.")
+    for p in paths:
+        if not p.is_file():
+            raise FileNotFoundError(f"Image file not found: {p}")
+    frames_per_image = max(1, int(fps * linger_time_seconds))
+    try:
+        import cv2
+
+        first = cv2.imread(str(paths[0]))
+        if first is None:
+            raise ValueError(f"Failed to read image: {paths[0]}")
+        h, w = first.shape[:2]
+        if size is not None:
+            w, h = size
+        video = cv2.VideoWriter(
+            str(output_path), cv2.VideoWriter_fourcc(*codec), fps, (w, h)
+        )
+        try:
+            for p in paths:
+                img = cv2.imread(str(p))
+                if img is None:
+                    continue
+                img = cv2.resize(img, (w, h))
+                for _ in range(frames_per_image):
+                    video.write(img)
+        finally:
+            video.release()
+    except ImportError:
+        from PIL import Image
+
+        frames = [Image.open(p).convert("RGB") for p in paths]
+        if size is not None:
+            frames = [f.resize(size) for f in frames]
+        frames[0].save(
+            str(Path(output_path).with_suffix(".gif")),
+            save_all=True, append_images=frames[1:],
+            duration=int(linger_time_seconds * 1000), loop=0,
+        )
