@@ -38,7 +38,9 @@ def _smooth_knn_dist(distances: np.ndarray, k: float, n_iter: int = 64):
         rho[i] = nonzero.min() if nonzero.size else 0.0
         lo, hi, mid = 0.0, np.inf, 1.0
         for _ in range(n_iter):
-            psum = np.exp(-np.maximum(row - rho[i], 0.0) / mid).sum() - 1.0
+            # row already excludes the self column, so the full sum is the
+            # effective neighbour count umap-learn calibrates against
+            psum = np.exp(-np.maximum(row - rho[i], 0.0) / mid).sum()
             if abs(psum - target) < SMOOTH_K_TOLERANCE:
                 break
             if psum > target:

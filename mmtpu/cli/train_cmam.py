@@ -69,14 +69,22 @@ def main(argv=None) -> int:
     )
 
     # -- CMAM -----------------------------------------------------------------
+    is_dual = cfg.cmam.model_type.lower() in ("dual_cmam", "dualcmam")
     target_modality = str(
-        Modality(str(cfg.cmam.kwargs.get("target_modality", cfg.target_modality)))
+        Modality(str(cfg.cmam.kwargs.get("target_modality",
+                 cfg.cmam.kwargs.get("target_modality_one",
+                 cfg.target_modality))))
     )
     cmam_model = common.build_model_from_config(cfg.cmam)
-    input_mods = sorted(str(Modality(str(k))) for k in cmam_model.input_encoders)
-
     rng = jax.random.PRNGKey(cfg.experiment.seed)
-    sample_inputs = {m: ds.arrays[Modality(m)][:2] for m in input_mods}
+    if is_dual:
+        input_mods = [str(Modality(str(cmam_model.input_modality)))]
+        sample_inputs = ds.arrays[Modality(input_mods[0])][:2]
+    else:
+        input_mods = sorted(
+            str(Modality(str(k))) for k in cmam_model.input_encoders
+        )
+        sample_inputs = {m: ds.arrays[Modality(m)][:2] for m in input_mods}
     variables = cmam_model.init({"params": rng, "dropout": rng}, sample_inputs,
                                 train=False)
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
@@ -86,7 +94,8 @@ def main(argv=None) -> int:
     for mod in cfg.cmam.kwargs.get("load_pretrained_encoder_state_for") or ():
         mod = str(Modality(str(mod)))
         enc_key = f"{mod}_encoder"
-        cmam_key = f"input_encoders_{mod}"  # linen's dict-submodule naming
+        # linen's dict-submodule naming; DualCMAM has one encoder submodule
+        cmam_key = "encoder" if is_dual else f"input_encoders_{mod}"
         if enc_key in base_variables["params"] and cmam_key in params:
             params[cmam_key] = base_variables["params"][enc_key]
             console.success(f"copied base {mod} encoder state into CMAM")
@@ -106,16 +115,41 @@ def main(argv=None) -> int:
     )
     loss = cmam_term.loss_fn if cmam_term else CMAMLoss()
 
-    task = CMAMTask(
-        cmam_model=cmam_model,
-        base_model=base_model,
-        base_variables=base_variables,
-        base_model_type=cfg.model.model_type,
-        input_modalities=input_mods,
-        target_modality=target_modality,
-        loss=loss,
-        labels_key="labels",
-    )
+    if is_dual:
+        from mmtpu.train.cmam_step import (
+            DualCMAMTask,
+            make_dual_cmam_eval_step,
+            make_dual_cmam_train_step,
+        )
+
+        task = DualCMAMTask(
+            cmam_model=cmam_model,
+            base_model=base_model,
+            base_variables=base_variables,
+            base_model_type=cfg.model.model_type,
+            input_modalities=input_mods,
+            target_modality=str(
+                Modality(str(cmam_model.target_modality_one))
+            ),
+            target_modality_two=str(
+                Modality(str(cmam_model.target_modality_two))
+            ),
+            loss=loss,
+            labels_key="labels",
+        )
+        step_builders = (make_dual_cmam_train_step, make_dual_cmam_eval_step)
+    else:
+        task = CMAMTask(
+            cmam_model=cmam_model,
+            base_model=base_model,
+            base_variables=base_variables,
+            base_model_type=cfg.model.model_type,
+            input_modalities=input_mods,
+            target_modality=target_modality,
+            loss=loss,
+            labels_key="labels",
+        )
+        step_builders = (make_cmam_train_step, make_cmam_eval_step)
 
     def record(recorder, out, vocab):
         pid = out.get("pattern_id")
@@ -146,7 +180,7 @@ def main(argv=None) -> int:
         metrics_path=Path(cfg.logging.metrics_path),
         group_name=group,
         record_fn=record,
-        step_builders=(make_cmam_train_step, make_cmam_eval_step),
+        step_builders=step_builders,
         print_interval=cfg.experiment.train_print_interval_epochs,
     )
 

@@ -47,6 +47,17 @@ class MetricConfig(BaseConfig):
             name: d if isinstance(d, MetricDef) else MetricDef(**d)
             for name, d in self.metrics.items()
         }
+        if self.metrics and not self.groups:
+            # The shipped ch3_experiments configs declare metrics with no
+            # groups block while every train step records into
+            # 'classification' — the reference recorder hard-errors there
+            # (metric_recorder.py:115); default the group instead so those
+            # configs run.
+            self.groups = {"classification": list(self.metrics)}
+            logger.info(
+                "metrics config has no groups — defaulting all metrics "
+                "into 'classification'"
+            )
         self._validate()
 
     def _validate(self) -> None:

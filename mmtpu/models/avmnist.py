@@ -128,6 +128,7 @@ class AVMNIST(nn.Module):
         is_embd_A: bool = False,
         is_embd_I: bool = False,
         train: bool = False,
+        fused_head: Optional[bool] = None,
     ) -> jnp.ndarray:
         assert A is not None or I is not None
         assert not (is_embd_A and is_embd_I)
@@ -155,7 +156,11 @@ class AVMNIST(nn.Module):
 
         import jax as _jax
 
-        if not train and _jax.default_backend() == "tpu":
+        # fused_head=None → auto (eval only). Callers that differentiate
+        # through an eval-mode forward (the CMAM frozen-teacher step) pass
+        # False: the kernel's recompute VJP loses in the fwd+bwd regime.
+        use_fused = (not train) if fused_head is None else fused_head
+        if use_fused and _jax.default_backend() == "tpu":
             from mmtpu.ops.fused_mlp import fused_mlp
 
             return fused_mlp(fused, tuple(ws), tuple(bs))

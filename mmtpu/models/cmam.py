@@ -118,6 +118,7 @@ class DualCMAM(nn.Module):
     dropout: float = 0.1
     grad_clip: float = 0.0
     binarize: bool = False
+    load_pretrained_encoder_state_for: Any = ()
 
     def setup(self) -> None:
         from mmtpu.config.spec import ModuleSpec

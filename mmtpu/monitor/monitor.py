@@ -195,26 +195,29 @@ class ExperimentMonitor:
                 {"columns": ",".join(self.STAT_COLUMNS)},
             )
             # matrix-shape measures the scalar bundle can't carry
-            # (reference compute_weight_stats, stats.py:58-73)
+            # (reference compute_weight_stats, stats.py:58-73) — check the
+            # shape BEFORE transferring so only 2-D kernels cross the host
+            # boundary
+            if raw[name].ndim != 2 or min(raw[name].shape) <= 1:
+                continue
             leaf = np.asarray(jax.device_get(raw[name]))
-            if leaf.ndim == 2 and min(leaf.shape) > 1:
-                sv = np.linalg.svd(leaf, compute_uv=False)
-                tol = sv.max() * max(leaf.shape) * np.finfo(np.float32).eps
-                spectral = {
-                    "spectral_norm": float(sv[0]),
-                    "effective_rank": float(np.sum(sv > tol)),
-                    "condition_number": float(
-                        sv[0] / max(sv[-1], np.finfo(np.float32).tiny)
-                    ),
-                }
-                if leaf.shape[0] == leaf.shape[1]:
-                    spectral["symmetry"] = float(np.mean(np.abs(leaf - leaf.T)))
-                self.storage.append(
-                    "weights",
-                    f"epoch_{self.epoch}/{name}__spectral",
-                    np.asarray(list(spectral.values()), np.float32),
-                    {"columns": ",".join(spectral.keys())},
-                )
+            sv = np.linalg.svd(leaf, compute_uv=False)
+            tol = sv.max() * max(leaf.shape) * np.finfo(np.float32).eps
+            spectral = {
+                "spectral_norm": float(sv[0]),
+                "effective_rank": float(np.sum(sv > tol)),
+                "condition_number": float(
+                    sv[0] / max(sv[-1], np.finfo(np.float32).tiny)
+                ),
+            }
+            if leaf.shape[0] == leaf.shape[1]:
+                spectral["symmetry"] = float(np.mean(np.abs(leaf - leaf.T)))
+            self.storage.append(
+                "weights",
+                f"epoch_{self.epoch}/{name}__spectral",
+                np.asarray(list(spectral.values()), np.float32),
+                {"columns": ",".join(spectral.keys())},
+            )
         if self.config.enable_layer_convergence:
             # convergence proxy: per-layer weight L2 trajectory
             l2 = np.asarray([host[k][0] for k in sorted(host)])

@@ -90,6 +90,10 @@ class CMAMTask:
                 kwargs[f"is_embd_{letter}"] = True
             elif mod in batch:
                 kwargs[letter] = self.masked(batch, mod)
+        if self.base_model_type.lower() == "avmnist":
+            # gradients flow through this eval-mode forward (wrt rec_embd),
+            # so force the XLA head — the fused kernel loses under fwd+bwd
+            kwargs["fused_head"] = False
         return self.base_model.apply(self.base_variables, train=False, **kwargs)
 
 
@@ -209,6 +213,8 @@ class DualCMAMTask(CMAMTask):
                 kwargs[f"is_embd_{letter}"] = True
             elif mod in batch:
                 kwargs[letter] = self.masked(batch, mod)
+        if self.base_model_type.lower() == "avmnist":
+            kwargs["fused_head"] = False  # see teacher_classify
         return self.base_model.apply(self.base_variables, train=False, **kwargs)
 
 

@@ -394,14 +394,14 @@ class TrainLoop:
             metrics["loss"] = loss
             results[split] = metrics
             if self.metrics_path:
-                path = self.metrics_path / f"{split}_metrics.json"
-                record = {
-                    "index": 0,
-                    **{k: v for k, v in metrics.items()
-                       if "ConfusionMatrix" not in k},
-                    "split": split,
-                }
-                path.write_text(json.dumps(_jsonable([record]), indent=4))
+                # single canonical writer (reference records schema); the
+                # CLI's later generate_report re-emits it with the full
+                # train/validation context (index continuing across splits)
+                from mmtpu.reports.report import MetricsReport
+
+                MetricsReport(self.metrics_path).generate(
+                    {}, {split: metrics}
+                )
             if split == "test":
                 n = max(len(self.loaders[split]), 1)
                 nested = _nest_epoch_metrics(metrics, self.json_nesting)

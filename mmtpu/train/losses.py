@@ -197,10 +197,33 @@ class WeightedLossTerm:
         **kwargs,
     ) -> Dict[str, Any]:
         w = self.weight if override_weight_with is None else override_weight_with
-        value = self.loss_fn(inputs, targets, **kwargs)
+        value = self.loss_fn(inputs, targets, **self._accepted(kwargs))
         if isinstance(value, dict):
             return {k: v * w for k, v in value.items()}
         return {"total_loss": value * w}
+
+    def _accepted(self, kwargs: Dict[str, Any]) -> Dict[str, Any]:
+        """Drop call kwargs the criterion's signature can't take (e.g.
+        sample_mask=None for CMAMLoss or user criteria registered via
+        register_criterion without the parameter)."""
+        kwargs = {k: v for k, v in kwargs.items() if v is not None}
+        if not kwargs:
+            return kwargs
+        if not hasattr(self, "_sig_params"):
+            import inspect
+
+            try:
+                sig = inspect.signature(self.loss_fn)
+                has_var = any(
+                    p.kind == inspect.Parameter.VAR_KEYWORD
+                    for p in sig.parameters.values()
+                )
+                self._sig_params = None if has_var else set(sig.parameters)
+            except (TypeError, ValueError):
+                self._sig_params = None  # builtins etc. — pass everything
+        if self._sig_params is None:
+            return kwargs
+        return {k: v for k, v in kwargs.items() if k in self._sig_params}
 
     def __repr__(self) -> str:  # noqa: D105
         return f"WeightedLossTerm({self.name or self.loss_fn}, weight={self.weight})"

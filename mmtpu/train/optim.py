@@ -279,18 +279,29 @@ class LRController:
             return lr / self.base_lr
         if k == "lambda":
             # Faithful quirk (reference :188-224): the multiplier is an
-            # eval()'d YAML expression of `epoch`.
-            expr = self.args.get("lr_lambda", "1.0")
-            local_vars = {
+            # eval()'d YAML expression of `epoch`. Shipped configs use two
+            # forms: a bare arithmetic expression, and a full
+            # "lambda epoch: ..." string (ch3_experiments/*:
+            # "lambda epoch: 1.0 - max(0, epoch + epoch_count - niter) /
+            # float(niter_decay + 1)").
+            expr = str(self.args.get("lr_lambda", "1.0"))
+            scope = {
                 key: v for key, v in self.args.items() if key != "lr_lambda"
             }
-            local_vars["epoch"] = e
-            # Empty __builtins__ keeps the quirk scoped to arithmetic on
-            # epoch/math — without it Python injects the real builtins and a
-            # config file gains full code execution.
-            return float(
-                eval(expr, {"math": math, "__builtins__": {}}, local_vars)  # noqa: S307
-            )
+            scope["epoch"] = e
+            scope["math"] = math
+            # An allowlisted __builtins__ keeps the quirk scoped to the
+            # arithmetic the shipped expressions actually use — without the
+            # override Python injects the full builtins and a config file
+            # gains arbitrary code execution.
+            scope["__builtins__"] = {
+                "max": max, "min": min, "abs": abs, "float": float,
+                "int": int, "round": round, "pow": pow,
+            }
+            value = eval(expr, scope)  # noqa: S307
+            if callable(value):
+                value = value(e)
+            return float(value)
         if k in ("cyclic", "onecycle"):
             max_lr = float(self.args.get("max_lr", self.base_lr))
             total = int(

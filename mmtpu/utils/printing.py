@@ -38,7 +38,10 @@ class EnhancedConsole:
                 from mmtpu.utils.themes import get_theme
 
                 theme = get_theme()
-            except Exception:  # pragma: no cover
+            except ValueError as e:
+                # unknown MMTPU_THEME: stay usable but say so
+                print(f"! {e} — using default console styling")
+            except ImportError:  # pragma: no cover
                 theme = None
         self._rich = _RichConsole(theme=theme) if _HAS_RICH else None
         if enable_progress is None:

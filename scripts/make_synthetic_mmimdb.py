@@ -7,7 +7,7 @@ Real split sizes: 15552 train / 2608 dev / 7799 test.
 
 Generation model (seeded): each sample draws 1-3 of 23 genres with a skewed
 popularity prior; modality features are linear genre embeddings + Gaussian
-noise computed from a CORRUPTED copy of the genre vector (25% of active
+noise computed from a CORRUPTED copy of the genre vector (20% of active
 genres dropped, 2% spurious activations) so the achievable F1 ceiling sits
 well below 1.0 — in the real dataset's 0.5-0.6 F1_samples band — and the
 scratch-vs-pretrained deltas (BASELINE.md rows 6-8) have room to show.

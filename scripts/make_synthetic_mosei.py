@@ -1,0 +1,60 @@
+"""Generate learnable synthetic CMU-MOSEI data (reference ch3_experiments
+configs point at unshipped $EXP_PATH/DATA/mosei/aligned.pkl; real dims
+audio 74 / vision 35 / text 768, aligned length 50).
+
+Split sizes are scaled to 4000/600/1200 (real: 16326/1871/4659) so the
+whole dataset fits the device-resident HBM budget on one chip — the axon
+host link (~16 MB/s) makes streaming the full-size text features
+impractical in this environment. Same latent-sentiment generative model as
+scripts/make_synthetic_mosi.py.
+
+Usage: python scripts/make_synthetic_mosei.py [out_root=DATA]
+"""
+
+from __future__ import annotations
+
+import pickle
+import sys
+from pathlib import Path
+
+import numpy as np
+
+SPLITS = {"train": 4000, "valid": 600, "test": 1200}
+T, D_A, D_V, D_T = 50, 74, 35, 768
+
+
+def _modality(rng, s, lengths, dim, snr):
+    n = s.shape[0]
+    proj = rng.normal(size=(dim,)).astype(np.float32)
+    base = s[:, None, None] * proj[None, None, :] * snr
+    x = base + rng.normal(size=(n, T, dim)).astype(np.float32)
+    t = np.arange(T)[None, :, None]
+    return (x * (t < lengths[:, None, None])).astype(np.float32)
+
+
+def main(out_root: str = "DATA") -> None:
+    rng = np.random.default_rng(71)
+    data = {}
+    for split, n in SPLITS.items():
+        s = rng.uniform(-3, 3, size=n).astype(np.float32)
+        lengths = rng.integers(20, T + 1, size=n)
+        cls = np.where(s < -0.5, 0, np.where(s > 0.5, 2, 1)).astype(np.int64)
+        data[split] = {
+            "audio": _modality(rng, s, lengths, D_A, snr=0.12),
+            "vision": _modality(rng, s, lengths, D_V, snr=0.10),
+            "text": _modality(rng, s, lengths, D_T, snr=0.05),
+            "classification_labels": cls,
+            "regression_labels": s,
+            "audio_lengths": lengths.astype(np.int64),
+            "vision_lengths": lengths.astype(np.int64),
+        }
+        print(f"{split}: {n} samples")
+    out = Path(out_root) / "mosei"
+    out.mkdir(parents=True, exist_ok=True)
+    with open(out / "aligned.pkl", "wb") as f:
+        pickle.dump(data, f)
+    print("wrote", out / "aligned.pkl")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

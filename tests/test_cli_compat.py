@@ -183,6 +183,14 @@ def test_msa_runner_dry_run(config):
     assert "dry run complete" in r.stdout
 
 
+def test_dual_cmam_cli_dry_run():
+    r = _run_cli("mmtpu.cli.train_cmam",
+                 REPO / "configs/mosi/synthetic_dual_cmam.yaml",
+                 extra=["--dry-run"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "dry run complete" in r.stdout
+
+
 def test_dryrun_multichip_in_process():
     """The driver-facing multi-chip contract: a full sharded train step on
     an 8-device mesh (conftest provisions 8 virtual CPU devices)."""

@@ -104,6 +104,27 @@ class TestLRControllers:
         assert c.step() == pytest.approx(0.95)
         assert c.step() == pytest.approx(0.95**2)
 
+    def test_lambda_full_expression_with_builtins(self):
+        # shipped ch3 form: a full "lambda epoch: ..." string using
+        # max()/float() builtins and scheduler_args free variables
+        args = {
+            "lr_lambda": "lambda epoch: 1.0 - max(0, epoch + epoch_count"
+                         " - niter) / float(niter_decay + 1)",
+            "epoch_count": 1, "niter": 10, "niter_decay": 10,
+        }
+        c = LRController("lambda", args, base_lr=1.0)
+        assert c.step() == pytest.approx(1.0)        # epoch 1
+        for _ in range(10):
+            last = c.step()
+        assert last == pytest.approx(1.0 - 2 / 11)   # epoch 11
+
+    def test_lambda_builtins_stay_restricted(self):
+        c = LRController(
+            "lambda", {"lr_lambda": "__import__('os').getcwd()"}, base_lr=1.0
+        )
+        with pytest.raises((NameError, TypeError)):
+            c.step()
+
     def test_exponential(self):
         c = LRController("exponential", {"gamma": 0.5}, base_lr=1.0)
         assert [c.step() for _ in range(3)] == [0.5, 0.25, 0.125]
