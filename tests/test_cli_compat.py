@@ -54,6 +54,37 @@ def test_reference_mono_config_dry_run():
     assert "dry run complete" in r.stdout
 
 
+@pytest.fixture(scope="module")
+def _encoder_artifacts():
+    """Synthesize the monomodal→multimodal handoff artifacts the north-star
+    config points at (encoder_{mod}_best) when no real pretrain run has
+    produced them in this workspace, so the dry-run test is hermetic."""
+    import jax
+    import numpy as np
+
+    from mmtpu.checkpoints.manager import save_pytree
+    from mmtpu.models import build_module
+
+    specs = {
+        "AVMNIST_Audio_Encoder_Resnet_Pretrain": (
+            "audio", "resnet18", 64, (1, 32, 94, 1)),
+        "AVMNIST_Image_Encoder_Resnet_Pretrain": (
+            "image", "resnet34", 128, (1, 28, 28, 1)),
+    }
+    for exp_name, (mod, arch, hidden, shape) in specs.items():
+        path = (REPO / "experiments_output" / exp_name / "models" / "1"
+                / f"encoder_{mod}_best.ckpt")
+        if path.exists():
+            continue
+        path.parent.mkdir(parents=True, exist_ok=True)
+        enc = build_module(arch, in_channels=1, hidden_dim=hidden)
+        variables = enc.init(
+            {"params": jax.random.PRNGKey(0)},
+            np.zeros(shape, np.float32), train=False)
+        save_pytree(path, {"params": variables["params"],
+                           "batch_stats": variables["batch_stats"]})
+
+
 @pytest.mark.skipif(
     not REF_NORTH_STAR.exists() or not _HAVE_AVMNIST,
     reason="reference configs or AVMNIST index not available",
@@ -61,10 +92,10 @@ def test_reference_mono_config_dry_run():
 @pytest.mark.parametrize(
     "module", ["mmtpu.cli.train_multimodal", "mmtpu.cli.train_avmnist"]
 )
-def test_north_star_dry_run(module):
+def test_north_star_dry_run(module, _encoder_artifacts):
     """The north-star multimodal config drives both generic and
     AVMNIST-specialized entry points, including pretrained-encoder loading
-    from the round-1 monomodal artifacts."""
+    from the round-1 monomodal artifacts (synthesized if absent)."""
     r = _run_cli(module, REF_NORTH_STAR, run_id="1", extra=["--dry-run"],
                  env_extra={"EXP_PATH": str(REPO)})
     assert r.returncode == 0, r.stderr[-2000:]
