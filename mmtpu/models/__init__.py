@@ -2,6 +2,7 @@ from mmtpu.models.avmnist import AVMNIST, MNISTAudio, MNISTImage, MonomodalEncod
 from mmtpu.models.conv import ConvBlock, ConvBlockArgs
 from mmtpu.models.fc import FcClassifier, FcEncoder, MaxPoolFc, SimpleClassifier
 from mmtpu.models.fusion import GatedBiModalNetwork, MaxOut, MultimodalPooling
+from mmtpu.models.gcnet import GraphModel, GraphNetwork, MatchingAttention
 from mmtpu.models.lenet import LeNet5, LeNet5Enhanced, LeNetEncoder
 from mmtpu.models.lstm import LSTMClassifier, LSTMEncoder
 from mmtpu.models.registry import build_module, resolve_encoder, resolve_model_name
@@ -20,6 +21,9 @@ __all__ = [
     "MaxPoolFc",
     "SimpleClassifier",
     "GatedBiModalNetwork",
+    "GraphModel",
+    "GraphNetwork",
+    "MatchingAttention",
     "MaxOut",
     "MultimodalPooling",
     "LeNet5",

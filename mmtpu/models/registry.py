@@ -128,6 +128,14 @@ def _factories() -> Dict[str, Callable[..., Any]]:
         "auvi_subnet": ("mmtpu.models.self_mm", "AuViSubNet"),
         "bert_text_encoder": ("mmtpu.models.bert_text", "BertTextEncoder"),
         "mmin": ("mmtpu.models.mmin", "MMIN"),
+        # GCNet conversation-graph family — unregistered in the reference's
+        # own resolver (resolvers.py:18-77 lacks it; dead from its CLI) but
+        # live exported code there; rebuilt dense/TPU-native and registered
+        # here so it is CLI-reachable.
+        "gcnet": ("mmtpu.models.gcnet", "GraphModel"),
+        "graph_model": ("mmtpu.models.gcnet", "GraphModel"),
+        "graph_network": ("mmtpu.models.gcnet", "GraphNetwork"),
+        "matching_attention": ("mmtpu.models.gcnet", "MatchingAttention"),
         "mult": ("mmtpu.models.mult", "MultModalTransformer"),
         "redcore": ("mmtpu.models.redcore", "RedCore"),
         "feature_manager": ("mmtpu.train.managers", "FeatureManager"),
