@@ -18,6 +18,15 @@ run `python bench.py --sweep` to re-measure the (batch, precision) grid.
 vs_baseline divides by the PyTorch-CPU reference-equivalent throughput
 measured on this machine by scripts/torch_cpu_baseline.py. MFU uses XLA's
 compiled-program FLOP count against the v5e bf16 peak (197 TFLOP/s).
+
+Measurement methodology (round 2): the shared tunnel chip's delivered
+compute varies several-fold with co-tenant load (measured 33-190 TFLOP/s
+on the same 8192^2 bf16 matmul at different times of day), so each
+measurement (a) uses a data-dependent host fetch as the timing barrier
+(never bare block_until_ready), (b) takes the best of several independent
+timing windows, and (c) reports a `canary_tflops` field — the achieved
+TFLOP/s of a large bf16 matmul at bench time — so a low run can be
+attributed to chip contention rather than framework regression.
 """
 
 import json
@@ -79,8 +88,27 @@ def build(B):
     return state, step, {"audio": a, "image": i, "labels": labels}, rng
 
 
-def measure(B, precision, steps=100, warmup=10):
+def canary_tflops(reps=3, n=8192):
+    """Achieved TFLOP/s of one large bf16 matmul right now — a chip-load
+    canary. The tunnel chip is multi-tenant; this contextualizes the main
+    number (quiet chip: ~170-190; contended: 30-60)."""
     import jax
+    import jax.numpy as jnp
+
+    a = jnp.ones((n, n), jnp.bfloat16)
+    f = jax.jit(lambda a: a @ a)
+    float(jnp.sum(f(a).astype(jnp.float32)))  # compile + settle
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(jnp.sum(f(a).astype(jnp.float32)))
+        best = min(best, time.perf_counter() - t0)
+    return 2 * n**3 / best / 1e12
+
+
+def measure(B, precision, windows=4, steps=30, warmup=10):
+    import jax
+    import jax.numpy as jnp
 
     jax.config.update(
         "jax_default_matmul_precision",
@@ -97,18 +125,25 @@ def measure(B, precision, steps=100, warmup=10):
     except Exception:
         pass
 
+    def barrier(st):
+        # data-dependent scalar fetch: the only reliable completion barrier
+        # over the axon tunnel (block_until_ready has returned early there)
+        return float(jnp.sum(jax.tree_util.tree_leaves(st.params)[0]))
+
     for k in range(warmup):
         state, out = step(state, batch, jax.random.fold_in(rng, k))
-    jax.block_until_ready(state.params)
-    t0 = time.perf_counter()
-    for k in range(steps):
-        state, out = step(state, batch, jax.random.fold_in(rng, k))
-    jax.block_until_ready(state.params)
-    dt = time.perf_counter() - t0
+    barrier(state)
+    best_dt = float("inf")
+    for w in range(windows):
+        t0 = time.perf_counter()
+        for k in range(steps):
+            state, out = step(state, batch, jax.random.fold_in(rng, w * steps + k))
+        barrier(state)
+        best_dt = min(best_dt, time.perf_counter() - t0)
 
     n_chips = jax.device_count()
-    rate = steps * B / dt / n_chips
-    mfu = (flops * steps / dt / n_chips / V5E_PEAK_FLOPS) if flops else None
+    rate = steps * B / best_dt / n_chips
+    mfu = (flops * steps / best_dt / n_chips / V5E_PEAK_FLOPS) if flops else None
     return rate, mfu
 
 
@@ -129,6 +164,7 @@ def main() -> None:
     else:
         rate, mfu = measure(DEFAULT_BATCH, DEFAULT_PRECISION)
 
+    canary = canary_tflops()
     print(
         json.dumps(
             {
@@ -137,6 +173,7 @@ def main() -> None:
                 "unit": "samples/sec/chip",
                 "vs_baseline": round(rate / TORCH_CPU_SAMPLES_PER_SEC, 2),
                 "mfu": round(mfu, 4) if mfu else None,
+                "canary_tflops": round(canary, 1),
             }
         )
     )

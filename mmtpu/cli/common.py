@@ -44,6 +44,12 @@ def standard_arg_parser(description: str) -> argparse.ArgumentParser:
     )
     p.add_argument("--cpu", action="store_true", help="Force the CPU backend")
     p.add_argument(
+        "--data-parallel", "--data_parallel", dest="data_parallel",
+        type=int, default=None, metavar="N",
+        help="Shard batches over an N-device mesh (-1 = all devices; "
+             "overrides experiment.data_parallel)",
+    )
+    p.add_argument(
         "--profile", action="store_true",
         help="Capture a JAX profiler trace of the first training epochs "
              "into <log_path>/profile (view with TensorBoard)",
@@ -96,6 +102,39 @@ def apply_precision(cfg) -> None:
     p = getattr(cfg.experiment, "precision", None)
     if p:
         jax.config.update("jax_default_matmul_precision", _PRECISION_MAP[p.lower()])
+
+
+def resolve_mesh(cfg, args=None):
+    """experiment.data_parallel / --data-parallel → device Mesh (or None).
+
+    The reference is strictly single-device (SURVEY §2.2); this is the
+    TPU-native scaling path: batches sharded over the mesh 'data' axis,
+    parameters replicated, gradient all-reduce inserted by XLA over ICI.
+    Every configured batch_size must divide evenly over the axis.
+    """
+    dp = getattr(args, "data_parallel", None) if args is not None else None
+    if dp is None:
+        dp = getattr(cfg.experiment, "data_parallel", None)
+    if not dp or dp == 1:
+        return None
+    n = jax.device_count()
+    if dp == -1:
+        dp = n
+    if dp > n:
+        raise ValueError(f"data_parallel={dp} but only {n} devices visible")
+    for name, ds_cfg in getattr(cfg.data, "datasets", {}).items():
+        bs = getattr(ds_cfg, "batch_size", None)
+        if bs and bs % dp:
+            raise ValueError(
+                f"dataset {name!r} batch_size={bs} not divisible by "
+                f"data_parallel={dp}"
+            )
+    from mmtpu.parallel.mesh import MeshConfig, create_mesh
+
+    mesh = create_mesh(MeshConfig(data_parallel=dp, model_parallel=1),
+                       devices=jax.devices()[:dp])
+    get_logger().info(f"data-parallel mesh: {dp} devices")
+    return mesh
 
 
 def load_config(args) -> StandardMultimodalConfig:

@@ -127,6 +127,7 @@ def run(cfg, args, cv_no=None) -> int:
     group = next(iter(cfg.metrics.groups), "classification")
     loop = TrainLoop(
         task=task, state=state, loaders=loaders,
+        mesh=common.resolve_mesh(cfg, args),
         recorder=common.make_recorder(cfg),
         checkpoint_manager=common.make_checkpoint_manager(cfg),
         epochs=cfg.training.epochs,

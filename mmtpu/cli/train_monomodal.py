@@ -74,6 +74,7 @@ def main(argv=None) -> int:
     loop = TrainLoop(
         task=task,
         state=state,
+        mesh=common.resolve_mesh(cfg, args),
         loaders=loaders,
         recorder=common.make_recorder(cfg),
         checkpoint_manager=ckpt,

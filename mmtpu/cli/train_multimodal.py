@@ -97,6 +97,7 @@ def run_single(cfg, args, cv_no=None, json_nesting="reference", collect=None) ->
     loop = TrainLoop(
         task=task,
         state=state,
+        mesh=common.resolve_mesh(cfg, args),
         loaders=loaders,
         recorder=common.make_recorder(cfg),
         checkpoint_manager=common.make_checkpoint_manager(cfg),

@@ -38,6 +38,12 @@ class ExperimentConfig(BaseConfig):
     # TPU matmul/conv precision: "bf16" runs MXU passes in bfloat16 with
     # fp32 params/accumulation (fast path), "f32" forces full precision.
     precision: Optional[str] = None
+    # Data parallelism over the device mesh (SURVEY §2.2 — the capability the
+    # single-device reference lacks): None/0/1 → single device; -1 → all
+    # visible devices; N → an N-device 'data' mesh axis. Batches are sharded
+    # over the axis, parameters replicated; XLA inserts the ICI gradient
+    # psum. Overridable with the --data-parallel CLI flag.
+    data_parallel: Optional[int] = None
 
     def __post_init__(self) -> None:
         assert self.train_print_interval_epochs > 0

@@ -124,6 +124,9 @@ class TrainLoop:
             and step_builders is None
             and record_fn is None
             and monitor is None
+            # with a mesh the streaming path shards batches over the data
+            # axis; the single-dispatch scan path is single-device-resident
+            and mesh is None
         ):
             from mmtpu.train import device_loop as dl
 
