@@ -62,6 +62,7 @@ def run(cfg, args) -> int:
         need_data_aligned=bool(cfg.model.kwargs.get("need_data_aligned", False)),
         H=float(cfg.model.kwargs.get("H", 3.0)),
     )
+    mesh = common.resolve_mesh(cfg, args)
     train_step = make_self_mm_train_step(task)
     eval_step = make_self_mm_eval_step(task)
     recorder = common.make_recorder(cfg)
@@ -80,7 +81,7 @@ def run(cfg, args) -> int:
         recorder.reset()
         t0 = time.time()
         losses = []
-        for batch in DevicePrefetcher(loaders["train"]):
+        for batch in DevicePrefetcher(loaders["train"], mesh=mesh):
             rng, step_rng = jax.random.split(rng)
             state, managers, out = train_step(
                 state, managers, batch, step_rng, jnp.asarray(epoch)
@@ -96,7 +97,7 @@ def run(cfg, args) -> int:
 
         recorder.reset()
         losses = []
-        for batch in DevicePrefetcher(loaders["validation"]):
+        for batch in DevicePrefetcher(loaders["validation"], mesh=mesh):
             out = eval_step(state, batch)
             losses.append(out["loss"])
             recorder.update_group_ids(

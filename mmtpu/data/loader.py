@@ -16,12 +16,14 @@ Optional per-modality lengths arrays ({mod}_lengths) for sequence models.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Any, Dict, Iterator, List, Optional
 
 import numpy as np
 
+from mmtpu.data import native
 from mmtpu.data.base import MultimodalArrayDataset
 from mmtpu.modalities import Modality
 
@@ -140,35 +142,49 @@ class BatchLoader:
         bs = self.batch_size
         n_batches = total // bs if self.drop_last else -(-total // bs)
 
+        # Native C++ gather (GIL-released threads, native/batch_assembly.cpp)
+        # only where it can win: multi-core hosts, where assembly overlaps
+        # the consumer's dispatch. On 1-core hosts numpy's single-thread
+        # memcpy is already optimal (measured: 1.6 vs 1.8 ms at the AVMNIST
+        # B=1024 shape) and ctypes overhead loses on small rows.
+        use_native = os.cpu_count() and os.cpu_count() > 1
+
+        def gather(arr: np.ndarray, idx_pad: np.ndarray) -> np.ndarray:
+            """arr[idx_pad] with zero rows where idx_pad < 0 (tail padding)."""
+            if use_native and arr.nbytes and idx_pad.size * arr.itemsize * max(
+                1, int(np.prod(arr.shape[1:], dtype=np.int64))
+            ) >= (1 << 20):
+                out = native.gather_rows(arr, idx_pad)
+                if out is not None:
+                    return out
+            out = arr[np.clip(idx_pad, 0, arr.shape[0] - 1)]
+            out[idx_pad < 0] = 0
+            return out
+
         for b in range(n_batches):
             sl = slice(b * bs, (b + 1) * bs)
             idx = sample_idx[sl]
             pids = pattern_of[sl]
             real = idx.shape[0]
+            if real < bs:  # fixed shapes: pad the index vectors, not arrays
+                idx = np.concatenate([idx, np.full(bs - real, -1, idx.dtype)])
+                pids = np.concatenate([pids, np.zeros(bs - real, pids.dtype)])
             batch: Dict[str, np.ndarray] = {}
             for mod in mods:
                 if ds.target_modality not in (Modality.MULTIMODAL, mod):
                     continue
-                arr = ds.arrays[mod][idx]
-                batch[str(mod)] = arr
-                batch[f"{mod}_mask"] = ds.mask_stack(mod)[pids, idx].astype(
-                    np.float32
-                )
+                batch[str(mod)] = gather(ds.arrays[mod], idx)
+                m = ds.mask_stack(mod)
+                keep = m[pids, np.clip(idx, 0, m.shape[1] - 1)].astype(np.float32)
+                keep[idx < 0] = 0.0
+                batch[f"{mod}_mask"] = keep
                 lengths = getattr(ds, "lengths", {}).get(mod)
                 if lengths is not None:
-                    batch[f"{mod}_lengths"] = lengths[idx]
-            batch["labels"] = ds.labels[idx]
-            batch["sample_idx"] = idx.astype(np.int32)
+                    batch[f"{mod}_lengths"] = gather(lengths, idx)
+            batch["labels"] = gather(ds.labels, idx)
+            batch["sample_idx"] = np.maximum(idx, 0).astype(np.int32)
             batch["pattern_id"] = pids.astype(np.int32)
-            batch["sample_mask"] = np.ones((real,), np.float32)
-
-            if real < bs:  # zero-pad tail to the fixed shape
-                pad = bs - real
-                for k, v in batch.items():
-                    batch[k] = np.concatenate(
-                        [v, np.zeros((pad,) + v.shape[1:], v.dtype)], axis=0
-                    )
-                batch["sample_mask"][real:] = 0.0
+            batch["sample_mask"] = (idx >= 0).astype(np.float32)
             yield batch
 
 
