@@ -44,9 +44,8 @@ class MultimodalArrayDataset:
         target_modality: Modality = Modality.MULTIMODAL,
         seed: int = 0,
     ) -> None:
-        split = {"trn": "train", "val": "valid", "validation": "valid"}.get(
-            split.lower(), split.lower()
-        )
+        split = {"trn": "train", "val": "valid", "validation": "valid",
+                 "tst": "test"}.get(split.lower(), split.lower())
         assert split in VALID_SPLITS, f"invalid split {split}"
         self.split = split
         self.seed = seed

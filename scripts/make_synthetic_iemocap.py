@@ -1,0 +1,93 @@
+"""Generate learnable synthetic IEMOCAP at real dims/format.
+
+Real IEMOCAP features are not shipped with the reference; this writes the
+exact multi-file layout its loader (and ours, mmtpu/data/iemocap.py) reads:
+
+  DATA/iemocap/A/comparE.h5           per-utterance (T_i, 130) float32
+  DATA/iemocap/A/comparE_mean_std.h5  {cv}/mean, {cv}/std
+  DATA/iemocap/V/denseface.h5         (T_i, 342)
+  DATA/iemocap/T/bert_large.h5        (T_i, 1024)
+  DATA/iemocap/target/{cv}/{split}_label.npy     one-hot (N, 4)
+  DATA/iemocap/target/{cv}/{split}_int2name.npy  utterance names
+
+Signal model: each utterance's features carry a class-dependent mean shift
+in a random per-modality subspace plus noise, with per-modality SNR chosen
+so the 4-class task is learnable but not trivial (text strongest, audio
+middle, video weakest — the ordering reported for real IEMOCAP).
+
+Usage: python scripts/make_synthetic_iemocap.py [--root DATA/iemocap]
+         [--folds 10] [--train 1024 --val 256 --test 256] [--seed 0]
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import h5py
+import numpy as np
+
+DIMS = {"A": ("comparE.h5", 130), "V": ("denseface.h5", 342),
+        "T": ("bert_large.h5", 1024)}
+SNR = {"A": 0.8, "V": 0.45, "T": 1.3}
+N_CLASSES = 4
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="DATA/iemocap")
+    ap.add_argument("--folds", type=int, default=10)
+    ap.add_argument("--train", type=int, default=1024)
+    ap.add_argument("--val", type=int, default=256)
+    ap.add_argument("--test", type=int, default=256)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(args.seed)
+    root = Path(args.root)
+    n_total = args.train + args.val + args.test
+    names = [f"Ses{i // 1000:02d}F_{i:05d}" for i in range(n_total)]
+    labels = rng.integers(0, N_CLASSES, n_total)
+
+    # class prototype directions per modality (fixed across folds)
+    protos = {
+        m: rng.normal(size=(N_CLASSES, d)).astype(np.float32)
+        / np.sqrt(d)
+        for m, (_, d) in DIMS.items()
+    }
+
+    for sub, (fname, dim) in DIMS.items():
+        (root / sub).mkdir(parents=True, exist_ok=True)
+        with h5py.File(root / sub / fname, "w") as f:
+            for nm, y in zip(names, labels):
+                t = int(rng.integers(20, 65))
+                base = rng.normal(size=(t, dim)).astype(np.float32)
+                f[nm] = base + SNR[sub] * protos[sub][y]
+
+    with h5py.File(root / "A" / "comparE_mean_std.h5", "w") as f:
+        for cv in range(1, args.folds + 1):
+            f[f"{cv}/mean"] = np.zeros(DIMS["A"][1], np.float32)
+            f[f"{cv}/std"] = np.ones(DIMS["A"][1], np.float32)
+
+    # per-fold rotated splits over the same utterance pool (10-fold CV)
+    for cv in range(1, args.folds + 1):
+        tgt = root / "target" / str(cv)
+        tgt.mkdir(parents=True, exist_ok=True)
+        order = np.roll(np.arange(n_total), (cv - 1) * args.test)
+        splits = {
+            "trn": order[: args.train],
+            "val": order[args.train: args.train + args.val],
+            "tst": order[args.train + args.val:],
+        }
+        for split, idx in splits.items():
+            onehot = np.eye(N_CLASSES, dtype=np.float32)[labels[idx]]
+            np.save(tgt / f"{split}_label.npy", onehot)
+            np.save(tgt / f"{split}_int2name.npy",
+                    np.array([names[i] for i in idx]))
+
+    print(f"synthetic IEMOCAP at {root}: {n_total} utterances, "
+          f"{args.folds} folds, dims A=130 V=342 T=1024")
+
+
+if __name__ == "__main__":
+    main()
