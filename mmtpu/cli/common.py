@@ -115,11 +115,17 @@ def resolve_mesh(cfg, args=None):
     dp = getattr(args, "data_parallel", None) if args is not None else None
     if dp is None:
         dp = getattr(cfg.experiment, "data_parallel", None)
-    if not dp or dp == 1:
+    if not dp:
         return None
+    if dp < -1:
+        raise ValueError(f"data_parallel={dp}: use -1 (all devices) or N >= 1")
     n = jax.device_count()
     if dp == -1:
         dp = n
+    if dp == 1:
+        # a 1-device mesh buys nothing and would disable the device-resident
+        # scan fast path — resolve to single-device mode
+        return None
     if dp > n:
         raise ValueError(f"data_parallel={dp} but only {n} devices visible")
     for name, ds_cfg in getattr(cfg.data, "datasets", {}).items():

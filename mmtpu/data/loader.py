@@ -28,6 +28,10 @@ from mmtpu.data.base import MultimodalArrayDataset
 from mmtpu.modalities import Modality
 
 
+# below this output size numpy's fancy indexing beats the ctypes round-trip
+NATIVE_MIN_GATHER_BYTES = 1 << 20
+
+
 class BatchLoader:
     def __init__(
         self,
@@ -143,23 +147,34 @@ class BatchLoader:
         n_batches = total // bs if self.drop_last else -(-total // bs)
 
         # Native C++ gather (GIL-released threads, native/batch_assembly.cpp)
-        # only where it can win: multi-core hosts, where assembly overlaps
-        # the consumer's dispatch. On 1-core hosts numpy's single-thread
+        # only where it can win: multi-core hosts, where assembly in the
+        # prefetch thread overlaps the consumer's dispatch instead of
+        # serializing on the GIL. On 1-core hosts numpy's single-thread
         # memcpy is already optimal (measured: 1.6 vs 1.8 ms at the AVMNIST
         # B=1024 shape) and ctypes overhead loses on small rows.
-        use_native = os.cpu_count() and os.cpu_count() > 1
+        use_native = bool(os.cpu_count() and os.cpu_count() > 1)
 
         def gather(arr: np.ndarray, idx_pad: np.ndarray) -> np.ndarray:
             """arr[idx_pad] with zero rows where idx_pad < 0 (tail padding)."""
             if use_native and arr.nbytes and idx_pad.size * arr.itemsize * max(
                 1, int(np.prod(arr.shape[1:], dtype=np.int64))
-            ) >= (1 << 20):
+            ) >= NATIVE_MIN_GATHER_BYTES:
                 out = native.gather_rows(arr, idx_pad)
                 if out is not None:
                     return out
             out = arr[np.clip(idx_pad, 0, arr.shape[0] - 1)]
             out[idx_pad < 0] = 0
             return out
+
+        def keep_mask(m: np.ndarray, pids, idx_pad) -> np.ndarray:
+            """float32 mask_stack[pids, idx_pad], 0 for padding rows."""
+            if use_native:
+                out = native.gather_mask(m, pids, idx_pad)
+                if out is not None:
+                    return out
+            keep = m[pids, np.clip(idx_pad, 0, m.shape[1] - 1)].astype(np.float32)
+            keep[idx_pad < 0] = 0.0
+            return keep
 
         for b in range(n_batches):
             sl = slice(b * bs, (b + 1) * bs)
@@ -174,10 +189,7 @@ class BatchLoader:
                 if ds.target_modality not in (Modality.MULTIMODAL, mod):
                     continue
                 batch[str(mod)] = gather(ds.arrays[mod], idx)
-                m = ds.mask_stack(mod)
-                keep = m[pids, np.clip(idx, 0, m.shape[1] - 1)].astype(np.float32)
-                keep[idx < 0] = 0.0
-                batch[f"{mod}_mask"] = keep
+                batch[f"{mod}_mask"] = keep_mask(ds.mask_stack(mod), pids, idx)
                 lengths = getattr(ds, "lengths", {}).get(mod)
                 if lengths is not None:
                     batch[f"{mod}_lengths"] = gather(lengths, idx)

@@ -37,7 +37,11 @@ def _disabled() -> bool:
 
 
 def ensure_built() -> bool:
-    """Build the shared library if missing. True if it exists afterwards."""
+    """Build the shared library if missing. True if it exists afterwards.
+
+    Cross-process safe: concurrent trainers (e.g. a sweep) serialize the
+    build on an flock'd lockfile so no process can dlopen a half-written
+    .so and silently pin itself to the numpy fallback."""
     lib_path = _NATIVE_DIR / _LIB_NAME
     if lib_path.exists():
         return True
@@ -45,11 +49,16 @@ def ensure_built() -> bool:
     if not src.exists():
         return False
     try:
-        subprocess.run(
-            ["make", "-C", str(_NATIVE_DIR)],
-            capture_output=True, timeout=120, check=True,
-        )
-    except (OSError, subprocess.SubprocessError):
+        import fcntl
+
+        with open(_NATIVE_DIR / ".build.lock", "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            if not lib_path.exists():  # another process may have built it
+                subprocess.run(
+                    ["make", "-C", str(_NATIVE_DIR)],
+                    capture_output=True, timeout=120, check=True,
+                )
+    except (OSError, ImportError, subprocess.SubprocessError):
         return False
     return lib_path.exists()
 

@@ -69,11 +69,13 @@ def main() -> None:
             f[f"{cv}/mean"] = np.zeros(DIMS["A"][1], np.float32)
             f[f"{cv}/std"] = np.ones(DIMS["A"][1], np.float32)
 
-    # per-fold rotated splits over the same utterance pool (10-fold CV)
+    # per-fold splits over the same utterance pool (10-fold CV). Each fold
+    # gets an independent seeded permutation — a rotation by a fixed step
+    # has period n_total/step and can silently duplicate folds.
     for cv in range(1, args.folds + 1):
         tgt = root / "target" / str(cv)
         tgt.mkdir(parents=True, exist_ok=True)
-        order = np.roll(np.arange(n_total), (cv - 1) * args.test)
+        order = np.random.default_rng((args.seed, cv)).permutation(n_total)
         splits = {
             "trn": order[: args.train],
             "val": order[args.train: args.train + args.val],

@@ -54,20 +54,39 @@ def test_non_contiguous_falls_back_to_none(lib_available):
     assert native.gather_rows(arr, np.array([0, 1])) is None
 
 
-def test_batchloader_batches_identical_native_vs_numpy(monkeypatch, rng):
-    """Full loader epoch: identical batch streams whether cpu_count reports
-    a multi-core host (native-eligible) or single-core (numpy path)."""
+def test_batchloader_batches_identical_native_vs_numpy(
+    lib_available, monkeypatch, rng
+):
+    """Full loader epoch: identical batch streams whether the native core
+    serves the gathers (multi-core host, threshold lowered so it actually
+    engages) or the numpy path does (single-core host)."""
     from mmtpu.data import loader as loader_mod
     from mmtpu.data.avmnist import SyntheticAVMNIST
 
+    calls = {"rows": 0, "mask": 0}
+    real_rows, real_mask = native.gather_rows, native.gather_mask
+
+    def counting_rows(*a, **k):
+        calls["rows"] += 1
+        return real_rows(*a, **k)
+
+    def counting_mask(*a, **k):
+        calls["mask"] += 1
+        return real_mask(*a, **k)
+
     def batches(cpus):
         monkeypatch.setattr(loader_mod.os, "cpu_count", lambda: cpus)
+        monkeypatch.setattr(loader_mod, "NATIVE_MIN_GATHER_BYTES", 0)
+        monkeypatch.setattr(loader_mod.native, "gather_rows", counting_rows)
+        monkeypatch.setattr(loader_mod.native, "gather_mask", counting_mask)
         ds = SyntheticAVMNIST(split="test", num_samples=37, seed=3)
         bl = loader_mod.BatchLoader(ds, batch_size=16, prefetch=0)
         return list(bl)
 
     a = batches(1)
+    assert calls["rows"] == 0, "numpy path must not touch the native core"
     b = batches(8)
+    assert calls["rows"] > 0 and calls["mask"] > 0, "native path never engaged"
     assert len(a) == len(b) > 0
     for ba, bb in zip(a, b):
         assert set(ba) == set(bb)

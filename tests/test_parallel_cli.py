@@ -63,8 +63,10 @@ def test_dp_flag_overrides_and_matches_single_device(tmp_path):
     assert l8[-1] < l8[0]
 
 
-def test_dp_rejects_indivisible_batch(tmp_path):
-    """batch_size 32 % data_parallel 5 != 0 -> loud config error."""
+@pytest.mark.parametrize("dp,needle", [("5", "not divisible"),
+                                       ("-2", "use -1")])
+def test_dp_rejects_bad_values(tmp_path, dp, needle):
+    """batch_size 32 % dp 5 != 0, and dp < -1, both fail loudly."""
     env = {
         **os.environ,
         "PYTHONPATH": str(REPO),
@@ -74,9 +76,11 @@ def test_dp_rejects_indivisible_batch(tmp_path):
     }
     r = subprocess.run(
         [sys.executable, "-m", "mmtpu.cli.train_multimodal",
-         "--config", str(CFG), "--run_id", "3", "--cpu",
-         "--data-parallel", "5"],
+         "--config", str(CFG), "--run_id", "4", "--cpu",
+         "--data-parallel", dp],
         capture_output=True, text=True, env=env, cwd=tmp_path, timeout=560,
     )
     assert r.returncode != 0
-    assert "not divisible" in (r.stderr + r.stdout)
+    assert needle in (r.stderr + r.stdout)
+
+
