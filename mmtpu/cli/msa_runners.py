@@ -73,10 +73,14 @@ def run(cfg, args, cv_no=None) -> int:
                 from mmtpu.checkpoints.manager import load_pytree
                 from mmtpu.utils.utils import SafeDict, format_path_with_env
 
-                resolved = format_path_with_env(str(path)).format_map(
+                resolved = Path(format_path_with_env(str(path)).format_map(
                     SafeDict(run_id=args.run_id)
-                )
-                raw = load_pytree(Path(resolved))
+                ))
+                # reference configs name the torch-era `best.pth`; our
+                # CheckpointManager writes `best.ckpt` — accept the sibling
+                if not resolved.exists() and resolved.with_suffix(".ckpt").exists():
+                    resolved = resolved.with_suffix(".ckpt")
+                raw = load_pytree(resolved)
                 tv = {
                     "params": serialization.from_state_dict(
                         tv["params"], raw["params"]

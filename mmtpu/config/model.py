@@ -49,7 +49,13 @@ class ModelConfig(BaseConfig):
         if self.pretrained_path is not None:
             path = self.format_path(str(self.pretrained_path), run_id)
             if path is not None and not Path(path).exists():
-                raise FileNotFoundError(f"Pretrained path not found: {path}")
+                # reference configs name torch-era `best.pth`; accept the
+                # mmtpu CheckpointManager's `best.ckpt` sibling
+                alt = Path(path).with_suffix(".ckpt")
+                if alt.exists():
+                    path = alt
+                else:
+                    raise FileNotFoundError(f"Pretrained path not found: {path}")
             self.pretrained_path = str(Path(path).resolve())
 
     def get_param(self, param: str, default: Any = None) -> Any:
