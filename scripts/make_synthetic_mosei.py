@@ -40,9 +40,9 @@ def main(out_root: str = "DATA") -> None:
         lengths = rng.integers(20, T + 1, size=n)
         cls = np.where(s < -0.5, 0, np.where(s > 0.5, 2, 1)).astype(np.int64)
         data[split] = {
-            "audio": _modality(rng, s, lengths, D_A, snr=0.12),
-            "vision": _modality(rng, s, lengths, D_V, snr=0.10),
-            "text": _modality(rng, s, lengths, D_T, snr=0.05),
+            "audio": _modality(rng, s, lengths, D_A, snr=0.35),
+            "vision": _modality(rng, s, lengths, D_V, snr=0.25),
+            "text": _modality(rng, s, lengths, D_T, snr=0.12),
             "classification_labels": cls,
             "regression_labels": s,
             "audio_lengths": lengths.astype(np.int64),
