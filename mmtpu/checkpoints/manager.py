@@ -134,6 +134,18 @@ class CheckpointManager:
         )
 
 
+def resolve_checkpoint_path(path) -> Path:
+    """Exact path if it exists, else its `.ckpt` sibling.
+
+    Reference configs name torch-era artifacts (`best.pth`); mmtpu's
+    CheckpointManager writes `best.ckpt` — every pretrained_path consumer
+    resolves through here so unchanged reference configs chain."""
+    p = Path(path)
+    if not p.exists() and p.with_suffix(".ckpt").exists():
+        return p.with_suffix(".ckpt")
+    return p
+
+
 def load_encoder_checkpoint(
     path: str | Path, target_params: Any, target_batch_stats: Optional[Any] = None
 ):

@@ -73,25 +73,25 @@ def run(cfg, args, cv_no=None) -> int:
                 from mmtpu.checkpoints.manager import load_pytree
                 from mmtpu.utils.utils import SafeDict, format_path_with_env
 
-                resolved = Path(format_path_with_env(str(path)).format_map(
-                    SafeDict(run_id=args.run_id)
-                ))
-                # reference configs name the torch-era `best.pth`; our
-                # CheckpointManager writes `best.ckpt` — accept the sibling
-                if not resolved.exists() and resolved.with_suffix(".ckpt").exists():
-                    resolved = resolved.with_suffix(".ckpt")
+                from mmtpu.checkpoints.manager import resolve_checkpoint_path
+
+                resolved = resolve_checkpoint_path(
+                    format_path_with_env(str(path)).format_map(
+                        SafeDict(run_id=args.run_id)
+                    )
+                )
                 raw = load_pytree(resolved)
-                tv = {
-                    "params": serialization.from_state_dict(
-                        tv["params"], raw["params"]
-                    ),
-                    **(
-                        {"batch_stats": serialization.from_state_dict(
-                            tv["batch_stats"], raw["batch_stats"])}
-                        if "batch_stats" in tv and raw.get("batch_stats")
-                        else {}
-                    ),
-                }
+                restored = {"params": serialization.from_state_dict(
+                    tv["params"], raw["params"])}
+                if "batch_stats" in tv:
+                    # keep the initialized collection even when the
+                    # checkpoint carries none — teacher.apply requires it
+                    restored["batch_stats"] = (
+                        serialization.from_state_dict(
+                            tv["batch_stats"], raw["batch_stats"])
+                        if raw.get("batch_stats") else tv["batch_stats"]
+                    )
+                tv = restored
                 console.success(f"MMIN teacher restored from {resolved}")
             teacher_vars = jax.tree_util.tree_map(jax.lax.stop_gradient, tv)
         task = MMINTask(

@@ -55,7 +55,9 @@ def main(argv=None) -> int:
     if cfg.model.pretrained_path:
         from flax import serialization
 
-        raw = load_pytree(Path(cfg.model.pretrained_path))
+        from mmtpu.checkpoints.manager import resolve_checkpoint_path
+
+        raw = load_pytree(resolve_checkpoint_path(cfg.model.pretrained_path))
         base_variables["params"] = serialization.from_state_dict(
             base_params, raw["params"]
         )

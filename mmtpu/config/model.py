@@ -47,16 +47,14 @@ class ModelConfig(BaseConfig):
 
     def validate_config(self, run_id: int = 1) -> None:
         if self.pretrained_path is not None:
-            path = self.format_path(str(self.pretrained_path), run_id)
-            if path is not None and not Path(path).exists():
-                # reference configs name torch-era `best.pth`; accept the
-                # mmtpu CheckpointManager's `best.ckpt` sibling
-                alt = Path(path).with_suffix(".ckpt")
-                if alt.exists():
-                    path = alt
-                else:
-                    raise FileNotFoundError(f"Pretrained path not found: {path}")
-            self.pretrained_path = str(Path(path).resolve())
+            from mmtpu.checkpoints.manager import resolve_checkpoint_path
+
+            path = resolve_checkpoint_path(
+                self.format_path(str(self.pretrained_path), run_id)
+            )
+            if not path.exists():
+                raise FileNotFoundError(f"Pretrained path not found: {path}")
+            self.pretrained_path = str(path.resolve())
 
     def get_param(self, param: str, default: Any = None) -> Any:
         if param in {"name", "model_type", "pretrained_path", "version"}:

@@ -19,35 +19,24 @@ from pathlib import Path
 
 import numpy as np
 
+from _synthetic_common import make_projs, modality_features
+
 SPLITS = {"train": 4000, "valid": 600, "test": 1200}
 T, D_A, D_V, D_T = 50, 74, 35, 768
 
 
-def _modality(rng, s, lengths, proj, snr):
-    # proj is drawn ONCE per modality and shared across splits — a per-split
-    # projection would give train and test different feature mappings and
-    # make cross-split generalization impossible by construction
-    n = s.shape[0]
-    dim = proj.shape[0]
-    base = s[:, None, None] * proj[None, None, :] * snr
-    x = base + rng.normal(size=(n, T, dim)).astype(np.float32)
-    t = np.arange(T)[None, :, None]
-    return (x * (t < lengths[:, None, None])).astype(np.float32)
-
-
 def main(out_root: str = "DATA") -> None:
     rng = np.random.default_rng(71)
-    projs = {m: rng.normal(size=(d,)).astype(np.float32)
-             for m, d in (("audio", D_A), ("vision", D_V), ("text", D_T))}
+    projs = make_projs(rng, {"audio": D_A, "vision": D_V, "text": D_T})
     data = {}
     for split, n in SPLITS.items():
         s = rng.uniform(-3, 3, size=n).astype(np.float32)
         lengths = rng.integers(20, T + 1, size=n)
         cls = np.where(s < -0.5, 0, np.where(s > 0.5, 2, 1)).astype(np.int64)
         data[split] = {
-            "audio": _modality(rng, s, lengths, projs["audio"], snr=0.35),
-            "vision": _modality(rng, s, lengths, projs["vision"], snr=0.25),
-            "text": _modality(rng, s, lengths, projs["text"], snr=0.12),
+            "audio": modality_features(rng, s, lengths, projs["audio"], 0.35, T),
+            "vision": modality_features(rng, s, lengths, projs["vision"], 0.25, T),
+            "text": modality_features(rng, s, lengths, projs["text"], 0.12, T),
             "classification_labels": cls,
             "regression_labels": s,
             "audio_lengths": lengths.astype(np.int64),

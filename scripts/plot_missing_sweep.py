@@ -43,21 +43,25 @@ def main() -> None:
     args = ap.parse_args()
 
     root = Path(args.root)
-    rates, rows = [], []
+    runs = []
     for spec in args.experiments:
         exp, _, rate = spec.rpartition(":")
-        rates.append(float(rate))
-        rows.append(load_test_metrics(exp, args.run_id, root))
+        runs.append((float(rate), load_test_metrics(exp, args.run_id, root)))
+    runs.sort(key=lambda t: t[0])  # argument order must not zigzag the x axis
+    rates = [r for r, _ in runs]
+    rows = [m for _, m in runs]
 
     prefix = args.metric + "_"
+    # union over every run — a run that logged fewer patterns must not
+    # silently drop the others from the figure
     patterns = sorted(
-        {k[len(prefix):] for k in rows[0]
+        {k[len(prefix):] for r in rows for k in r
          if k.startswith(prefix) and k[len(prefix):].isupper()},
         key=lambda p: (-len(p), p),
     )
     fig, ax = plt.subplots(figsize=(10, 6))
     for pat in patterns:
-        ys = [r.get(prefix + pat) for r in rows]
+        ys = [r.get(prefix + pat, float("nan")) for r in rows]
         ax.plot(rates, ys, "o-", label=pat, linewidth=2)
     ax.set_xlabel("Training missing rate (%)")
     ax.set_ylabel(args.metric)
@@ -70,7 +74,10 @@ def main() -> None:
     fig.savefig(out, dpi=150, bbox_inches="tight")
     print(out)
     for pat in patterns:
-        vals = ", ".join(f"{r.get(prefix + pat):.4f}" for r in rows)
+        vals = ", ".join(
+            f"{v:.4f}" if isinstance(v := r.get(prefix + pat), float) else "—"
+            for r in rows
+        )
         print(f"{prefix}{pat}: {vals}")
 
 

@@ -6,7 +6,7 @@
 #   EXP_PATH=$PWD bash scripts/repro_mosei_sweep.sh [run_id]
 set -euo pipefail
 RUN_ID="${1:-1}"
-REF=/root/reference/MML_Suite/configs/ch3_experiments/mosei
+REF="${REF:-/root/reference/MML_Suite/configs/ch3_experiments/mosei}"
 export EXP_PATH="${EXP_PATH:-$PWD}"
 
 python -m mmtpu.cli.train_multimodal \
