@@ -1,0 +1,89 @@
+"""Generate learnable synthetic Kinetics-Sounds at the reference layout.
+
+Real KS assets are not shipped; the reference loader
+(data/kinetics_sounds.py, ours mmtpu/data/kinetics_sounds.py) reads CSVs
+with `audio`/`video`/`label` columns of torch-saved tensor paths:
+audio = (128, 128) log-mel-like spectrogram, video = (400,) pooled
+feature vector, 26 classes.
+
+Signal model: class-dependent mean patterns (audio: a low-rank 2-D
+pattern per class; video: a direction per class) + noise, audio carrying
+the stronger channel as reported for real KS.
+
+Usage: python scripts/make_synthetic_kinetics_sounds.py \
+         [--root DATA/kinetics-sounds] [--per-class 30] [--seed 0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+from pathlib import Path
+
+import numpy as np
+import torch
+
+N_CLASSES = 26
+SPLIT_FRACS = {"train": 0.6, "validation": 0.2, "test": 0.2}
+AUDIO_SHAPE = (128, 128)
+D_VIDEO = 400
+SNR_AUDIO, SNR_VIDEO = 0.5, 0.35
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="DATA/kinetics-sounds")
+    ap.add_argument("--per-class", type=int, default=30)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(args.seed)
+    root = Path(args.root)
+    (root / "tensors").mkdir(parents=True, exist_ok=True)
+
+    # class prototypes, shared across splits
+    a_u = rng.normal(size=(N_CLASSES, AUDIO_SHAPE[0], 1)).astype(np.float32)
+    a_v = rng.normal(size=(N_CLASSES, 1, AUDIO_SHAPE[1])).astype(np.float32)
+    audio_proto = a_u * a_v / np.sqrt(AUDIO_SHAPE[0])
+    video_proto = (rng.normal(size=(N_CLASSES, D_VIDEO)) / np.sqrt(D_VIDEO)).astype(
+        np.float32
+    )
+
+    n_total = args.per_class * N_CLASSES
+    labels = np.repeat(np.arange(N_CLASSES), args.per_class)
+    rng.shuffle(labels)
+
+    rows = []
+    for i, y in enumerate(labels):
+        audio = (
+            SNR_AUDIO * audio_proto[y] * np.sqrt(AUDIO_SHAPE[0])
+            + rng.normal(size=AUDIO_SHAPE)
+        ).astype(np.float32)
+        video = (
+            SNR_VIDEO * video_proto[y] * np.sqrt(D_VIDEO)
+            + rng.normal(size=(D_VIDEO,))
+        ).astype(np.float32)
+        ap_, vp_ = root / "tensors" / f"a_{i:05d}.pt", root / "tensors" / f"v_{i:05d}.pt"
+        torch.save(torch.from_numpy(audio), ap_)
+        torch.save(torch.from_numpy(video), vp_)
+        rows.append((str(ap_.resolve()), str(vp_.resolve()), int(y)))
+
+    order = rng.permutation(n_total)
+    bounds, acc = {}, 0
+    for split, frac in SPLIT_FRACS.items():
+        n = int(round(frac * n_total))
+        bounds[split] = order[acc: acc + n]
+        acc += n
+
+    for split, idx in bounds.items():
+        with open(root / f"{split}.csv", "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["audio", "video", "class"])
+            for i in idx:
+                w.writerow(rows[i])
+        print(f"{split}: {len(idx)} samples")
+    print(f"synthetic kinetics-sounds at {root}: {n_total} clips, 26 classes")
+
+
+if __name__ == "__main__":
+    main()
