@@ -63,6 +63,26 @@ def test_dp_flag_overrides_and_matches_single_device(tmp_path):
     assert l8[-1] < l8[0]
 
 
+def test_self_mm_runs_data_parallel(tmp_path):
+    """Self-MM's custom loop (sharded prefetchers + per-sample manager
+    scatter) completes a 2-epoch run over the 8-device mesh."""
+    cfg = REPO / "configs/mosi/synthetic_self_mm.yaml"
+    env = {
+        **os.environ,
+        "PYTHONPATH": str(REPO),
+        "EXP_PATH": str(tmp_path),
+        "XLA_FLAGS": (os.environ.get("XLA_FLAGS", "")
+                      + " --xla_force_host_platform_device_count=8").strip(),
+    }
+    r = subprocess.run(
+        [sys.executable, "-m", "mmtpu.cli.train_multimodal",
+         "--config", str(cfg), "--run_id", "9", "--cpu",
+         "--data-parallel", "8"],
+        capture_output=True, text=True, env=env, cwd=tmp_path, timeout=560,
+    )
+    assert r.returncode == 0, r.stderr[-2500:]
+
+
 @pytest.mark.parametrize("dp,needle", [("5", "not divisible"),
                                        ("-2", "use -1")])
 def test_dp_rejects_bad_values(tmp_path, dp, needle):
