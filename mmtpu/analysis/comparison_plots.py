@@ -97,7 +97,9 @@ def plot_additional_metrics(
             ("weighted", "darkblue", "darkred", "^"),
         ):
             key = f"{metric}_{flavour}_{pattern}"
-            if key not in (pretrained[0] if pretrained else {}):
+            # a flavour present in either run (or only after epoch 1) must
+            # still be plotted; per-epoch gaps fall back to .get(..., nan)
+            if not any(key in d for d in [*pretrained, *baseline]):
                 continue
             ax.plot(_epochs(pretrained), [d.get(key, np.nan) for d in pretrained],
                     marker=mark, color=shade_p,

@@ -143,7 +143,25 @@ def resolve_mesh(cfg, args=None):
     return mesh
 
 
+def promote_numpy_warnings() -> None:
+    """Promote the numpy RuntimeWarnings the reference hardens into errors
+    (train_multimodal.py:46-60): degenerate metric slices, divide-by-zero,
+    and NaN propagation in multiplies fail loudly instead of silently
+    poisoning epoch metrics."""
+    import warnings
+
+    for message in (
+        "Degrees of freedom <= 0 for slice",
+        "divide by zero encountered in divide",
+        "invalid value encountered in multiply",
+    ):
+        warnings.filterwarnings(
+            "error", message=message, category=RuntimeWarning
+        )
+
+
 def load_config(args) -> StandardMultimodalConfig:
+    promote_numpy_warnings()
     cfg = StandardMultimodalConfig.load(args.config, run_id=args.run_id)
     apply_precision(cfg)
     if args.seed is not None:

@@ -135,14 +135,19 @@ class MultimodalArrayDataset:
     def pattern_vocab(self) -> List[str]:
         return list(self.selected_patterns)
 
-    def mask_stack(self, modality: Modality) -> np.ndarray:
-        """(num_selected_patterns, N) keep-masks for vectorized batch gather."""
-        key = ("_mask_stack", str(modality))
+    def mask_stack(self, modality: Modality, dtype=np.float32) -> np.ndarray:
+        """(num_selected_patterns, N) keep-masks for vectorized batch gather.
+
+        dtype-keyed cache: the native gather core consumes a uint8 view —
+        caching it here keeps the O(patterns x N) cast out of the per-batch
+        hot loop (it is otherwise repeated per modality per batch)."""
+        key = ("_mask_stack", str(modality), np.dtype(dtype).str)
         cache = getattr(self, "_mask_cache", None)
         if cache is None:
             cache = self._mask_cache = {}
         if key not in cache:
-            cache[key] = np.stack(
+            stack = np.stack(
                 [self.masks[p][modality] for p in self.selected_patterns], axis=0
             )
+            cache[key] = np.ascontiguousarray(stack.astype(dtype, copy=False))
         return cache[key]

@@ -167,7 +167,11 @@ class BatchLoader:
             return out
 
         def keep_mask(m: np.ndarray, pids, idx_pad) -> np.ndarray:
-            """float32 mask_stack[pids, idx_pad], 0 for padding rows."""
+            """float32 mask_stack[pids, idx_pad], 0 for padding rows.
+
+            `m` is the dataset-cached uint8 stack (binary keep masks), so
+            the native path does no per-call dtype conversion; only the
+            (batch,) output is allocated here."""
             if use_native:
                 out = native.gather_mask(m, pids, idx_pad)
                 if out is not None:
@@ -189,7 +193,9 @@ class BatchLoader:
                 if ds.target_modality not in (Modality.MULTIMODAL, mod):
                     continue
                 batch[str(mod)] = gather(ds.arrays[mod], idx)
-                batch[f"{mod}_mask"] = keep_mask(ds.mask_stack(mod), pids, idx)
+                batch[f"{mod}_mask"] = keep_mask(
+                    ds.mask_stack(mod, np.uint8), pids, idx
+                )
                 lengths = getattr(ds, "lengths", {}).get(mod)
                 if lengths is not None:
                     batch[f"{mod}_lengths"] = gather(lengths, idx)

@@ -15,6 +15,13 @@ upload the WHOLE split to HBM once and compile the epoch:
 
 Enabled automatically when the split fits the byte budget (see TrainLoop
 integration); semantics are identical to the streaming path.
+
+Data parallelism composes with this path (round 3): the resident arrays are
+replicated over the mesh, the epoch schedule's batch dimension is sharded
+over the 'data' axis, and XLA's SPMD partitioner splits every per-step
+gather + forward/backward across devices with an ICI psum for the gradient
+reduction — still one dispatch per epoch. No code inside the scan changes:
+the partitioning comes entirely from the operand shardings.
 """
 
 from __future__ import annotations
@@ -46,13 +53,48 @@ class DeviceResidentData(struct.PyTreeNode):
     labels: jnp.ndarray
 
     @classmethod
-    def upload(cls, dataset) -> "DeviceResidentData":
+    def upload(cls, dataset, mesh=None) -> "DeviceResidentData":
+        """Upload the split to HBM; with a mesh, replicate over every device
+        so the sharded schedule's gathers are local (no cross-device
+        all-to-all on sample indices)."""
+        put = (lambda a: jax.device_put(a, _replicated(mesh))) if mesh \
+            else jax.device_put
         return cls(
-            arrays={
-                str(m): jax.device_put(a) for m, a in dataset.arrays.items()
-            },
-            labels=jax.device_put(dataset.labels),
+            arrays={str(m): put(a) for m, a in dataset.arrays.items()},
+            labels=put(dataset.labels),
         )
+
+
+def _replicated(mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P())
+
+
+def replicate_tree(tree, mesh):
+    """Replicate every leaf over the mesh (params/batch_stats for the
+    sharded scan path)."""
+    sharding = _replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def put_schedule(schedule: Dict[str, np.ndarray], mesh=None):
+    """Place an epoch schedule on device. With a mesh, the batch dimension
+    (axis 1 of every (steps, batch, ...) array) is sharded over 'data' —
+    this is the only sharding annotation the scan path needs; everything
+    else is propagated by XLA."""
+    if mesh is None:
+        return jax.device_put(schedule)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mmtpu.parallel.mesh import DATA_AXIS
+
+    def _put(x):
+        x = np.asarray(x)
+        spec = P(None, DATA_AXIS, *([None] * (x.ndim - 2)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return {k: _put(v) for k, v in schedule.items()}
 
 
 def _gather_batch(data: DeviceResidentData, xs: Dict[str, jnp.ndarray]):
@@ -68,11 +110,17 @@ def _gather_batch(data: DeviceResidentData, xs: Dict[str, jnp.ndarray]):
     return batch
 
 
-def make_scan_train_epoch(task: ClassificationTask, data: DeviceResidentData):
+def make_scan_train_epoch(
+    task: ClassificationTask, data: DeviceResidentData, mesh=None
+):
     # `data` is passed as an argument (not closed over): closure-captured
     # arrays are baked into the HLO as constants, which blows up the
     # compile payload (observed: HTTP 413 from the remote-compile tunnel
     # with a 360 MB resident split).
+    # `mesh` is accepted for signature parity: SPMD partitioning comes
+    # entirely from the operand shardings (put_schedule/replicate_tree);
+    # jit compiles the same program either way.
+    del mesh
     def epoch_fn(state: TrainState, data: DeviceResidentData,
                  schedule: Dict[str, jnp.ndarray], rng):
         def body(carry, xs):
@@ -117,7 +165,11 @@ def make_scan_train_epoch(task: ClassificationTask, data: DeviceResidentData):
     return lambda state, schedule, rng: fn(state, data, schedule, rng)
 
 
-def make_scan_eval_epoch(task: ClassificationTask, data: DeviceResidentData):
+def make_scan_eval_epoch(
+    task: ClassificationTask, data: DeviceResidentData, mesh=None
+):
+    del mesh  # SPMD comes from operand shardings (see make_scan_train_epoch)
+
     def epoch_fn(state: TrainState, data: DeviceResidentData,
                  schedule: Dict[str, jnp.ndarray]):
         def body(carry, xs):

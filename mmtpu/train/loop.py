@@ -124,12 +124,18 @@ class TrainLoop:
             and step_builders is None
             and record_fn is None
             and monitor is None
-            # with a mesh the streaming path shards batches over the data
-            # axis; the single-dispatch scan path is single-device-resident
-            and mesh is None
         ):
             from mmtpu.train import device_loop as dl
 
+            if mesh is not None:
+                # scan-on-mesh (round 3): resident arrays replicated, the
+                # schedule's batch dim sharded over 'data' — one dispatch
+                # per epoch AND data parallelism. State must be replicated
+                # so donation/re-use keeps a consistent layout.
+                self.state = dl.replicate_tree(self.state, mesh)
+            from mmtpu.parallel.mesh import DATA_AXIS
+
+            dp = mesh.shape[DATA_AXIS] if mesh is not None else 1
             budget = dl.DEFAULT_BUDGET_BYTES
             for split, loader in loaders.items():
                 ds = getattr(loader, "dataset", None)
@@ -137,11 +143,13 @@ class TrainLoop:
                     continue
                 if device_resident == "auto" and dl.dataset_nbytes(ds) > budget:
                     continue
-                data = dl.DeviceResidentData.upload(ds)
+                if mesh is not None and loader.batch_size % dp:
+                    continue  # batch not shardable over the data axis
+                data = dl.DeviceResidentData.upload(ds, mesh=mesh)
                 fn = (
-                    dl.make_scan_train_epoch(task, data)
+                    dl.make_scan_train_epoch(task, data, mesh=mesh)
                     if split == "train"
-                    else dl.make_scan_eval_epoch(task, data)
+                    else dl.make_scan_eval_epoch(task, data, mesh=mesh)
                 )
                 self._scan[split] = (fn, ds, loader.batch_size,
                                      getattr(loader, "shuffle", False),
@@ -171,8 +179,11 @@ class TrainLoop:
         t0 = time.time()
         # streaming BatchLoader counts epochs from 0 — keep the seeded
         # shuffle/pattern draws identical between the two paths
-        schedule = jax.device_put(
-            dl.build_schedule(ds, batch_size, max(epoch - 1, 0), shuffle, seed, ds.split)
+        schedule = dl.put_schedule(
+            dl.build_schedule(
+                ds, batch_size, max(epoch - 1, 0), shuffle, seed, ds.split
+            ),
+            self.mesh,
         )
         if split == "train":
             self._rng, epoch_rng = jax.random.split(self._rng)

@@ -243,3 +243,23 @@ def test_unknown_flag_rejected():
     )
     assert r.returncode != 0
     assert "--config" in r.stderr or "unrecognized" in r.stderr
+
+
+def test_numpy_warning_tripwire_promotes_to_errors():
+    """The reference hardens three numpy RuntimeWarnings into errors
+    (train_multimodal.py:46-60); promote_numpy_warnings is its counterpart,
+    installed by every driver via load_config. A NaN/degenerate metric
+    computation must fail loudly, not poison epoch metrics."""
+    import warnings
+
+    import numpy as np
+    import pytest
+
+    from mmtpu.cli import common
+
+    with warnings.catch_warnings():
+        common.promote_numpy_warnings()
+        with pytest.raises(RuntimeWarning, match="Degrees of freedom"):
+            np.std(np.array([]))
+        with pytest.raises(RuntimeWarning, match="invalid value"):
+            np.array([np.inf]) * np.array([0.0])

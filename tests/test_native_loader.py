@@ -96,3 +96,17 @@ def test_batchloader_batches_identical_native_vs_numpy(
     tail = a[-1]
     assert tail["sample_mask"].shape[0] == 16
     assert tail["sample_mask"].sum() < 16
+
+def test_mask_stack_uint8_view_is_cached():
+    """The loader passes a dataset-cached uint8 stack to the native core —
+    repeated calls must return the same array (no per-batch O(patterns x N)
+    conversion) and agree with the float32 stack."""
+    from mmtpu.data.avmnist import SyntheticAVMNIST
+
+    ds = SyntheticAVMNIST(split="test", num_samples=10, seed=0)
+    mod = next(iter(ds.arrays))
+    u8a = ds.mask_stack(mod, np.uint8)
+    u8b = ds.mask_stack(mod, np.uint8)
+    assert u8a is u8b
+    assert u8a.dtype == np.uint8 and u8a.flags["C_CONTIGUOUS"]
+    np.testing.assert_array_equal(u8a, ds.mask_stack(mod).astype(np.uint8))
