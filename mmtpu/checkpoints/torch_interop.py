@@ -27,6 +27,7 @@ from mmtpu.utils.logging import get_logger
 logger = get_logger()
 
 _NAME_RULES: List[Tuple[str, str]] = [
+    ("attention_layer", "attention_layer.0"),  # torch Sequential(Linear,Tanh)
     ("downsample_conv", "downsample.0"),
     ("downsample_bn", "downsample.1"),
     ("block_one/conv_1", "net.0.conv_one"),
@@ -166,6 +167,37 @@ def _load_with_stub_modules(path: Path):
             sys.modules.pop(name, None)
 
 
+def _fused_lstm_lookup(
+    state: Dict[str, np.ndarray], prefix: str, flax_path: str, leaf: str
+) -> Optional[Tuple[np.ndarray, List[str]]]:
+    """Map torch nn.LSTM weights onto the fused LSTMEncoder layout
+    (models/lstm.py backend='fused'): wi.kernel=(I,4H) <- weight_ih_l0.T,
+    wi.bias <- bias_ih_l0 + bias_hh_l0, wh=(H,4H) <- weight_hh_l0.T.
+    Torch gate order [i,f,g,o] equals flax's, so no gate permutation.
+    Also maps the attention pooling's raw `attention_vector_weight` param.
+    Returns (converted value, consumed torch keys) or None."""
+    base = prefix.replace("/", ".")
+    if leaf == "wh":
+        key = f"{base}rnn.weight_hh_l0"
+        if key in state:
+            return state[key].T, [key]
+    if leaf == "attention_vector_weight":
+        key = f"{base}attention_vector_weight"
+        if key in state:
+            return state[key], [key]
+    if flax_path.split("/")[-1] == "wi":
+        enc = base.rsplit("wi.", 1)[0]
+        if leaf == "kernel":
+            key = f"{enc}rnn.weight_ih_l0"
+            if key in state:
+                return state[key].T, [key]
+        if leaf == "bias":
+            k_ih, k_hh = f"{enc}rnn.bias_ih_l0", f"{enc}rnn.bias_hh_l0"
+            if k_ih in state and k_hh in state:
+                return state[k_ih] + state[k_hh], [k_ih, k_hh]
+    return None
+
+
 def _flax_to_torch_key(flax_path: str, leaf: str, collection: str) -> Optional[str]:
     """Translate a flax param path to the reference torch key."""
     path = flax_path
@@ -228,6 +260,17 @@ def load_torch_checkpoint(
                 out[k] = fill(v, collection, f"{prefix}{k}/")
             else:
                 flax_path = prefix.rstrip("/")
+                lstm_hit = _fused_lstm_lookup(state, prefix, flax_path, k)
+                if lstm_hit is not None:
+                    value, consumed = lstm_hit
+                    if np.shape(value) != np.shape(v):
+                        raise ValueError(
+                            f"LSTM shape mismatch {np.shape(value)} vs "
+                            f"{np.shape(v)} at {flax_path}/{k}"
+                        )
+                    out[k] = value
+                    used.update(consumed)
+                    continue
                 key = _flax_to_torch_key(flax_path, k, collection)
                 # MNIST encoders name the flatten Linear `fc` but torch
                 # stores it at Sequential slot 5.

@@ -35,10 +35,20 @@ def _make_bert(
     if pretrained_path:
         path = Path(format_path_with_env(str(pretrained_path)))
         if path.exists():
+            # HF-style local checkpoint dir; from_pt converts torch weights
+            # to flax in-process (tested against a torch BertModel forward
+            # in tests/test_self_mm.py::TestBertIngestion)
             return FlaxBertModel.from_pretrained(str(path), from_pt=True)
-        logger.warning(
-            f"BERT pretrained path {path} not found — using random init"
+        from mmtpu.utils.printing import get_console
+
+        msg = (
+            f"BERT pretrained path {path} not found — Self-MM will train "
+            "with a RANDOMLY INITIALIZED text encoder (the reference loads "
+            "pretrained BERT weights here, bert_text_encoder.py:32-33); "
+            "place an HF-style checkpoint at that path for parity"
         )
+        logger.warning(msg)
+        get_console().warning(msg)
     config = BertConfig(
         hidden_size=hidden_size,
         num_hidden_layers=num_hidden_layers,

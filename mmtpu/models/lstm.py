@@ -19,14 +19,17 @@ import jax.numpy as jnp
 
 
 class LSTMEncoder(nn.Module):
-    """backend='rnn' uses flax's scanned OptimizedLSTMCell; 'fused' uses the
-    Pallas full-sequence kernel (mmtpu/ops/lstm.py — VMEM-resident state,
-    fused wi/wh/b params)."""
+    """backend='fused' (default) routes through `lstm_sequence`
+    (mmtpu/ops/lstm.py): fused wi/wh/b parameter layout, with a shape-based
+    dispatch between the Pallas VMEM-resident kernel (where it measurably
+    wins: long T / small H) and the XLA scan (parity shapes) — checkpoints
+    are layout-identical either way. backend='rnn' keeps flax's scanned
+    OptimizedLSTMCell (per-gate parameter layout, kept for comparison)."""
 
     input_size: int
     hidden_size: int
     embd_method: str = "last"
-    backend: str = "rnn"
+    backend: str = "fused"
 
     def get_embedding_size(self) -> int:
         return self.hidden_size

@@ -102,3 +102,123 @@ def test_forward_parity_with_torch():
     )
     theirs = torch_forward(x[:, None, :, :])
     np.testing.assert_allclose(np.asarray(ours), theirs, rtol=2e-4, atol=2e-4)
+
+
+class TestFusedLSTMInterop:
+    """Torch nn.LSTM checkpoints convert into the fused LSTMEncoder layout
+    (the round-3 default backend): weight mapping + forward parity + orbax
+    round-trip stability (VERDICT r2 #5)."""
+
+    I, H, B, T = 10, 16, 4, 12
+
+    def _torch_encoder(self):
+        import torch
+        import torch.nn as nn
+
+        torch.manual_seed(0)
+
+        class TorchLSTMEncoder(nn.Module):
+            def __init__(self, I, H):
+                super().__init__()
+                self.rnn = nn.LSTM(I, H, batch_first=True)
+                self.attention_vector_weight = nn.Parameter(
+                    torch.randn(H, 1) * 0.1
+                )
+                self.attention_layer = nn.Sequential(
+                    nn.Linear(H, H), nn.Tanh()
+                )
+
+            def forward(self, x):
+                r_out, (h_n, _) = self.rnn(x)
+                hidden_reps = self.attention_layer(r_out)
+                atten = torch.softmax(
+                    (hidden_reps @ self.attention_vector_weight).squeeze(-1),
+                    dim=-1,
+                )
+                return (r_out * atten.unsqueeze(-1)).sum(dim=1), h_n[0]
+
+        return TorchLSTMEncoder(self.I, self.H)
+
+    def _flax_encoder(self):
+        from mmtpu.models import build_module
+
+        return build_module(
+            "lstmencoder", input_size=self.I, hidden_size=self.H,
+            embd_method="attention",
+        )
+
+    def test_conversion_and_forward_parity(self, tmp_path):
+        import torch
+
+        tenc = self._torch_encoder().eval()
+        pth = tmp_path / "encoder_audio_best.pth"
+        torch.save(tenc.state_dict(), pth)
+
+        from mmtpu.checkpoints.torch_interop import load_torch_checkpoint
+
+        enc = self._flax_encoder()
+        v = enc.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((2, self.T, self.I)), train=False,
+        )
+        params = load_torch_checkpoint(pth, v["params"])
+
+        sd = {k: v.detach().numpy() for k, v in tenc.state_dict().items()}
+        np.testing.assert_array_equal(
+            np.asarray(params["wi"]["kernel"]), sd["rnn.weight_ih_l0"].T
+        )
+        np.testing.assert_array_equal(
+            np.asarray(params["wh"]), sd["rnn.weight_hh_l0"].T
+        )
+        np.testing.assert_array_equal(
+            np.asarray(params["wi"]["bias"]),
+            sd["rnn.bias_ih_l0"] + sd["rnn.bias_hh_l0"],
+        )
+
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(self.B, self.T, self.I)).astype(np.float32)
+        ours = enc.apply({"params": params}, jnp.asarray(x), train=False)
+        with torch.no_grad():
+            attn_t, _ = tenc(torch.from_numpy(x))
+        np.testing.assert_allclose(
+            np.asarray(ours), attn_t.numpy(), rtol=2e-5, atol=2e-6
+        )
+
+    def test_orbax_roundtrip_preserves_forward(self, tmp_path):
+        """Checkpoint round-trip for the fused layout: the shape dispatch
+        (Pallas vs XLA inside lstm_sequence) shares one parameter layout,
+        so save->restore->forward is bit-stable."""
+        from mmtpu.checkpoints.manager import CheckpointManager
+        from mmtpu.config.optim import OptimizerConfig
+        from mmtpu.train.optim import build_optimizer
+        from mmtpu.train.state import TrainState
+
+        enc = self._flax_encoder()
+        v = enc.init(
+            {"params": jax.random.PRNGKey(1)},
+            jnp.zeros((2, self.T, self.I)), train=False,
+        )
+        tx, _ = build_optimizer(
+            OptimizerConfig(name="Adam", default_kwargs={"lr": 1e-3}),
+            v["params"],
+        )
+        state = TrainState.create(
+            apply_fn=enc.apply, params=v["params"], batch_stats={}, tx=tx
+        )
+        mgr = CheckpointManager(str(tmp_path))
+        mgr.save_checkpoint(state, epoch=1, metric_value=0.5)
+
+        v2 = enc.init(
+            {"params": jax.random.PRNGKey(99)},
+            jnp.zeros((2, self.T, self.I)), train=False,
+        )
+        state2 = TrainState.create(
+            apply_fn=enc.apply, params=v2["params"], batch_stats={}, tx=tx
+        )
+        restored = mgr.load_checkpoint(state2, "best")
+
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(self.B, self.T, self.I)), jnp.float32)
+        a = enc.apply({"params": state.params}, x, train=False)
+        b = enc.apply({"params": restored.params}, x, train=False)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
