@@ -54,6 +54,13 @@ def standard_arg_parser(description: str) -> argparse.ArgumentParser:
         help="Capture a JAX profiler trace of the first training epochs "
              "into <log_path>/profile (view with TensorBoard)",
     )
+    p.add_argument(
+        "--stacked-folds", "--stacked_folds", dest="stacked_folds",
+        action="store_true",
+        help="Cross-validation only: train ALL folds simultaneously in one "
+             "vmapped program (per-fold math unchanged; early stopping "
+             "tracked per fold for checkpoints but folds run full epochs)",
+    )
     return p
 
 

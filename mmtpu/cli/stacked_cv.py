@@ -1,0 +1,294 @@
+"""Stacked cross-validation: all K folds train in ONE compiled program.
+
+The reference (and run_single) trains CV folds sequentially
+(train_multimodal.py:920-1102). At the batch sizes the reference configs use
+(32-256) a single fold underutilizes the chip per step; vmapping the train
+step over a leading fold axis multiplies the work per dispatch while keeping
+each fold's math, data stream, optimizer state, and RNG independent
+(mmtpu/train/stacked.py — parity-tested against separate runs).
+
+Per-fold outputs keep the sequential schema: fold_{k}/epoch_metrics.json,
+fold-scoped checkpoints, and {split}_metrics_agg.json aggregation, so
+downstream tooling cannot tell which engine produced a run.
+
+Scope: the generic classification families (avmnist/mmimdb/uttfusion/
+kinetics-sounds). Early stopping is tracked per fold for best-checkpoint
+selection but does not stop the stacked program early (all folds run the
+configured epochs); plateau/other schedulers apply per fold via a stacked
+lr_scale vector.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmtpu.cli import common
+from mmtpu.train.early_stopping import EarlyStopping
+from mmtpu.train.loop import _jsonable, _nest_epoch_metrics
+from mmtpu.train.stacked import (
+    StackedLoaderGroup,
+    make_stacked_eval_step,
+    make_stacked_train_step,
+    stack_states,
+    unstack_states,
+)
+from mmtpu.train.state import TrainState
+from mmtpu.train.step import ClassificationTask
+from mmtpu.utils.printing import get_console
+from mmtpu.utils.utils import flatten_leaves
+
+console = get_console()
+
+
+def _fold_loss(losses: List[Any], masks: List[Any], fold: int) -> float:
+    """Mean loss over the fold's REAL steps (padded lockstep steps where the
+    fold was exhausted carry all-zero sample masks and are excluded)."""
+    ls = np.asarray(jax.device_get([l[fold] for l in losses]))
+    valid = np.asarray(
+        [float(np.asarray(m[fold]).sum()) > 0 for m in masks]
+    )
+    n = max(int(valid.sum()), 1)
+    return float(np.sum(ls * valid) / n)
+
+
+def run(cfg, args, json_nesting: str = "reference") -> int:
+    folds = int(cfg.experiment.cross_validation)
+    from mmtpu.cli.train_multimodal import (
+        aggregate_cv_metrics,
+        modalities_for_model,
+    )
+
+    base_metrics_path = Path(cfg.logging.metrics_path)
+    base_model_path = Path(cfg.logging.model_output_path)
+    mods = modalities_for_model(cfg.model.model_type)
+    model = common.build_model_from_config(cfg.model)
+    multilabel = cfg.model.model_type.lower() == "mmimdb"
+    task = ClassificationTask(
+        model=model,
+        loss_group=cfg.training.loss_functions,
+        input_keys=[str(m) for m in mods],
+        multilabel=multilabel,
+    )
+    group = next(iter(cfg.metrics.groups), "classification")
+
+    # -- per-fold assembly (same construction path as run_single) ----------
+    states, fold_ctx = [], []
+    shared_tx = None
+    for fold in range(1, folds + 1):
+        cfg.logging.metrics_path = str(base_metrics_path / f"fold_{fold}")
+        cfg.logging.model_output_path = str(base_model_path / f"fold_{fold}")
+        cfg.logging.create_directories()
+        for ds_cfg in cfg.data.datasets.values():
+            ds_cfg.kwargs["cv_no"] = fold
+        loaders = cfg.data.build_all_loaders(
+            is_train=True,
+            is_test=cfg.experiment.is_test and not args.skip_test,
+            seed=cfg.experiment.seed,
+        )
+        params, batch_stats = common.init_model(
+            model,
+            common.sample_inputs_for(
+                next(iter(loaders.values())).dataset, mods
+            ),
+            cfg.experiment.seed,
+        )
+        params, batch_stats, _ = common.load_pretrained_encoders(
+            params, batch_stats, cfg.model.pretrained_encoders,
+            cfg.logging, args.run_id,
+        )
+        if shared_tx is None:
+            # one tx object for every fold: the stacked state's static pytree
+            # aux data must be identical across folds
+            state = common.make_state(
+                model, params, batch_stats, cfg.training,
+                clip=cfg.model.kwargs.get("clip")
+                or cfg.model.kwargs.get("grad_clip"),
+            )
+            shared_tx = state.tx
+        else:
+            state = TrainState.create(
+                apply_fn=model.apply, params=params,
+                batch_stats=batch_stats, tx=shared_tx,
+            )
+        states.append(state)
+        fold_ctx.append({
+            "loaders": loaders,
+            "recorder": common.make_recorder(cfg),
+            "ckpt": common.make_checkpoint_manager(cfg),
+            "early": common.make_early_stopping(cfg),
+            "lr": common.make_lr_controller(cfg.training),
+            "metrics_path": Path(cfg.logging.metrics_path),
+            "epoch_metrics": [],
+            "history": {"train": [], "validation": []},
+            "timing": {"train": [], "validation": []},
+        })
+    cfg.logging.metrics_path = str(base_metrics_path)
+    cfg.logging.model_output_path = str(base_model_path)
+
+    if args.dry_run or cfg.experiment.dry_run:
+        console.success(
+            f"dry run complete — {folds} folds stacked, state/loaders built"
+        )
+        return 0
+
+    stacked = stack_states(states)
+    train_step = make_stacked_train_step(task, donate=False)
+    eval_step = make_stacked_eval_step(task)
+    # Mirror TrainLoop's per-fold dropout stream exactly (loop.py: rng
+    # starts at PRNGKey(0) per loop; the scan path splits an epoch key then
+    # chain-splits per step) so stacked == sequential bit-for-bit even with
+    # dropout on. Every fold's sequential loop starts from the same key.
+    fold_rngs = [jax.random.PRNGKey(0) for _ in range(folds)]
+
+    def run_split(stacked, split: str, epoch: int, train: bool):
+        group_loader = StackedLoaderGroup(
+            [c["loaders"][split] for c in fold_ctx]
+        )
+        if train:
+            epoch_keys = []
+            for f in range(folds):
+                fold_rngs[f], e = jax.random.split(fold_rngs[f])
+                epoch_keys.append(e)
+        losses, masks = [], []
+        t0 = time.time()
+        for step_i, sbatch in enumerate(group_loader):
+            sbatch = jax.device_put(sbatch)
+            if train:
+                step_keys = []
+                for f in range(folds):
+                    epoch_keys[f], sr = jax.random.split(epoch_keys[f])
+                    step_keys.append(sr)
+                step_rngs = jnp.stack(step_keys)
+                stacked, out = train_step(stacked, sbatch, step_rngs)
+            else:
+                out = eval_step(stacked, sbatch)
+            losses.append(out["loss"])
+            masks.append(out.get(
+                "sample_mask",
+                jnp.ones(np.asarray(out["loss"]).shape + (1,), jnp.float32),
+            ))
+            for f, c in enumerate(fold_ctx):
+                vocab = c["loaders"][split].pattern_vocab
+                c["recorder"].update_group_ids(
+                    group,
+                    out["preds"][f], out["labels"][f],
+                    out["pattern_id"][f] if "pattern_id" in out
+                    else np.zeros(np.asarray(out["preds"][f]).shape[0],
+                                  np.int32),
+                    vocab,
+                    out["sample_mask"][f] if "sample_mask" in out else None,
+                )
+        elapsed = time.time() - t0
+        per_fold = []
+        for f, c in enumerate(fold_ctx):
+            loss = _fold_loss(losses, masks, f)
+            metrics = flatten_leaves(
+                c["recorder"].calculate_all_groups(epoch=epoch, loss=loss)
+            )
+            metrics["loss"] = loss
+            c["recorder"].reset()
+            per_fold.append(metrics)
+            key = "validation" if split == "validation" else split
+            if key in c["timing"]:
+                c["timing"][key].append(elapsed)
+        return stacked, per_fold, elapsed
+
+    epochs = cfg.training.epochs
+    for epoch in range(1, epochs + 1):
+        stacked, train_m, t_tr = run_split(stacked, "train", epoch, True)
+        stacked, val_m, t_va = run_split(stacked, "validation", epoch, False)
+        scales = []
+        for f, c in enumerate(fold_ctx):
+            c["history"]["train"].append(dict(train_m[f]))
+            c["history"]["validation"].append(dict(val_m[f]))
+            n_tr = max(len(c["loaders"]["train"]), 1)
+            n_va = max(len(c["loaders"]["validation"]), 1)
+            c["epoch_metrics"].append({
+                "epoch": epoch,
+                "train": {
+                    "loss": train_m[f]["loss"],
+                    "timing": {"total_time": t_tr,
+                               "avg_batch_time": t_tr / n_tr},
+                    **_nest_epoch_metrics(train_m[f], json_nesting),
+                },
+                "validation": {
+                    "loss": val_m[f]["loss"],
+                    "timing": {"total_time": t_va,
+                               "avg_batch_time": t_va / n_va},
+                    **_nest_epoch_metrics(val_m[f], json_nesting),
+                },
+            })
+            (c["metrics_path"]).mkdir(parents=True, exist_ok=True)
+            (c["metrics_path"] / "epoch_metrics.json").write_text(
+                json.dumps(_jsonable(c["epoch_metrics"]), indent=4)
+            )
+            target = val_m[f].get(cfg.logging.save_metric,
+                                  val_m[f].get("loss"))
+            if c["early"].step(float(target)):
+                fold_state = unstack_states(stacked, folds)[f]
+                c["ckpt"].save_checkpoint(fold_state, epoch, float(target))
+            if c["lr"] is not None:
+                metric = (val_m[f]["loss"]
+                          if c["lr"].kind == "plateau" else None)
+                scales.append(c["lr"].step(metric))
+            else:
+                scales.append(1.0)
+        # per-fold lr scale: the stacked hyperparam is a (K,) vector the
+        # vmapped update consumes fold-wise
+        hp = getattr(stacked.opt_state, "hyperparams", None)
+        if hp is not None and "lr_scale" in hp:
+            hp["lr_scale"] = jnp.asarray(
+                scales, dtype=np.asarray(hp["lr_scale"]).dtype
+            )
+        console.print(
+            f"epoch {epoch}/{epochs} — fold losses "
+            f"{[round(m['loss'], 4) for m in train_m]}"
+        )
+
+    # -- test: restore each fold's best, evaluate stacked ------------------
+    fold_test: List[Dict[str, Any]] = []
+    test_split = next(
+        (s for s in fold_ctx[0]["loaders"]
+         if s not in ("train", "validation", "embeddings")), None,
+    )
+    if test_split is not None:
+        restored = []
+        for f, c in enumerate(fold_ctx):
+            st = unstack_states(stacked, folds)[f]
+            try:
+                st = c["ckpt"].load_checkpoint(st, "best")
+            except FileNotFoundError:
+                pass
+            restored.append(st)
+        stacked = stack_states(restored)
+        stacked, test_m, _ = run_split(stacked, test_split, 0, False)
+        for f, c in enumerate(fold_ctx):
+            fold_test.append(test_m[f])
+            from mmtpu.reports.report import MetricsReport
+
+            MetricsReport(c["metrics_path"]).generate(
+                {}, {test_split: test_m[f]}
+            )
+
+    for name, agg in (
+        ("train", aggregate_cv_metrics(
+            [c["history"]["train"] for c in fold_ctx]
+        )),
+        ("validation", aggregate_cv_metrics(
+            [c["history"]["validation"] for c in fold_ctx]
+        )),
+        ("test", aggregate_cv_metrics(fold_test)),
+    ):
+        if agg:
+            (base_metrics_path / f"{name}_metrics_agg.json").write_text(
+                json.dumps(agg, indent=4)
+            )
+    console.success(f"stacked CV complete: {folds} folds in one program")
+    return 0

@@ -190,10 +190,30 @@ def main(argv=None) -> int:
     if args.dry_run or cfg.experiment.dry_run:
         console.success("dry run complete")
         return 0
+    results = {}
     if not args.skip_train:
         loop.run()
     if not args.skip_test:
-        loop.test(splits=[s for s in loaders if s not in ("train", "validation")])
+        results = loop.test(
+            splits=[s for s in loaders if s not in ("train", "validation")]
+        )
+
+    # final report emits {train,validation,test}_metrics.json in the
+    # reference record schema: nested group dicts + loss + per-term
+    # cosine/mae/mse columns (reference train_cmam.py:532-560,988)
+    from mmtpu.reports import ExperimentReportGenerator
+
+    ExperimentReportGenerator(
+        Path(cfg.logging.metrics_path) / "report",
+        cfg.experiment.name,
+        metrics_dir=cfg.logging.metrics_path,
+    ).generate_report(
+        metrics_history=loop.metrics_history_nested,
+        timing_history=loop.timing_history,
+        params=loop.state.params,
+        test_metrics=loop.test_metrics_nested,
+    )
+    del results
     return 0
 
 

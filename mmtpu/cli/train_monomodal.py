@@ -71,6 +71,16 @@ def main(argv=None) -> int:
         )
 
     group = next(iter(cfg.metrics.groups), "classification")
+    mod_upper = str(modality).upper()
+
+    def add_plain_accuracy(metrics):
+        # reference train_monomodal also tracks an unsuffixed per-epoch
+        # accuracy next to the {metric}_{MODALITY} recorder keys (:252-254)
+        if f"accuracy_{mod_upper}" in metrics:
+            metrics.setdefault("accuracy", metrics[f"accuracy_{mod_upper}"])
+        return metrics
+
+    any_loader = next(iter(loaders.values()))
     loop = TrainLoop(
         task=task,
         state=state,
@@ -87,6 +97,10 @@ def main(argv=None) -> int:
         on_best=on_best,
         print_interval=cfg.experiment.train_print_interval_epochs,
         monitor=common.make_monitor(cfg),
+        # metric keys carry the MODALITY name, not the pattern letter
+        # (reference records update_group(modality=str(key)), :242-247)
+        vocab_override=[str(modality)] * len(any_loader.pattern_vocab),
+        metrics_postprocess=add_plain_accuracy,
     )
 
     if args.dry_run or cfg.experiment.dry_run:

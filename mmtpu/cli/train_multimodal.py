@@ -42,6 +42,17 @@ def main(argv=None) -> int:
     cfg = common.load_config(args)
 
     if cfg.experiment.cross_validation:
+        if getattr(args, "stacked_folds", False):
+            mt = cfg.model.model_type.lower()
+            if mt in ("mmin", "redcore", "self-mm", "self_mm"):
+                console.warning(
+                    f"--stacked-folds unsupported for {mt}; "
+                    "falling back to sequential CV"
+                )
+            else:
+                from mmtpu.cli import stacked_cv
+
+                return stacked_cv.run(cfg, args)
         return main_cross_validation(cfg, args)
     return run_single(cfg, args)
 

@@ -52,8 +52,15 @@ class LoggingConfig(BaseConfig):
 
     def format_path(self, path: str) -> str:
         """Expand $ENV vars and {experiment_name}/{run_id}/{timestamp}."""
+        import re
+
         expanded = format_path_with_env(str(path))
-        safe_name = self.experiment_name.replace(" ", "_")
+        # reference sanitization (logging_config.py:79-81): spaces, hyphens
+        # AND other specials collapse to underscores ("MM_IMDb C-MAM ..." ->
+        # "MM_IMDb_C_MAM_..."), so output dirs match byte-for-byte
+        safe_name = re.sub(
+            r"[^\w\s-]|[\s-]+", "_", self.experiment_name
+        ).strip("_")
         return expanded.format_map(
             SafeDict(
                 experiment_name=safe_name,

@@ -126,6 +126,74 @@ class ResidualXE(nn.Module):
         return h, jnp.concatenate(latents, axis=-1)
 
 
+class ResidualUnetAE(nn.Module):
+    """U-Net-style fc autoencoder (reference: autoencoder.py:152-255).
+
+    `layers` lists the encoder half only (the decoder mirrors it); each
+    decoder level fuses the same-depth encoder activation by `fusion`
+    ('concat' doubles the width, 'add' keeps it). n_blocks chains blocks
+    residually like ResidualAE (block i consumes x_in + previous recon).
+    Returns (final recon, {block_index: recon}) like the reference.
+    Unregistered/dead from the reference CLI; provided for API completeness.
+    """
+
+    layers: Sequence[int]
+    n_blocks: int
+    input_dim: int
+    dropout: float = 0.5
+    use_bn: bool = False
+    fusion: str = "concat"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        assert self.fusion in ("concat", "add"), "Only concat and add"
+        depth = len(self.layers)
+
+        def block(i: int, x_in: jnp.ndarray) -> jnp.ndarray:
+            skips = []
+            h = x_in
+            for lvl, width in enumerate(self.layers):
+                h = nn.Dense(width, name=f"encoder_{i}_fc_{lvl}")(h)
+                h = nn.leaky_relu(h)
+                if self.use_bn:
+                    h = nn.BatchNorm(
+                        use_running_average=not train, momentum=0.9,
+                        epsilon=1e-5, name=f"encoder_{i}_bn_{lvl}",
+                    )(h)
+                if self.dropout > 0:
+                    h = nn.Dropout(
+                        self.dropout, deterministic=not train
+                    )(h)
+                skips.append(h)
+            # decoder: deepest level first (no fusion), then fuse the
+            # same-depth encoder output at each level
+            widths = list(reversed(self.layers))[1:] + [self.input_dim]
+            for lvl in range(depth):
+                if lvl > 0:
+                    skip = skips[depth - 1 - lvl]
+                    h = (jnp.concatenate([h, skip], axis=-1)
+                         if self.fusion == "concat" else h + skip)
+                h = nn.Dense(widths[lvl], name=f"decoder_{i}_fc_{lvl}")(h)
+                if lvl == depth - 1:
+                    h = nn.relu(h)  # reference's final Sequential ends ReLU
+                else:
+                    h = nn.leaky_relu(h)
+                    if self.dropout > 0:
+                        h = nn.Dropout(
+                            self.dropout, deterministic=not train
+                        )(h)
+            return h
+
+        x_in = x
+        x_out = jnp.zeros_like(x)
+        outputs = {}
+        for i in range(self.n_blocks):
+            x_in = x_in + x_out
+            x_out = block(i, x_in)
+            outputs[i] = x_out
+        return x_out, outputs
+
+
 class SimpleFcAE(nn.Module):
     layers: Sequence[int]
     input_dim: int

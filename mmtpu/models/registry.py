@@ -123,6 +123,7 @@ def _factories() -> Dict[str, Callable[..., Any]]:
         "transformer": ("mmtpu.models.transformer", "Transformer"),
         "residual_ae": ("mmtpu.models.autoencoder", "ResidualAE"),
         "residual_xe": ("mmtpu.models.autoencoder", "ResidualXE"),
+        "residual_unet_ae": ("mmtpu.models.autoencoder", "ResidualUnetAE"),
         "self_mm": ("mmtpu.models.self_mm", "Self_MM"),
         "self-mm": ("mmtpu.models.self_mm", "Self_MM"),
         "auvi_subnet": ("mmtpu.models.self_mm", "AuViSubNet"),

@@ -80,7 +80,15 @@ class TrainLoop:
         json_nesting: str = "reference",
         device_resident: str = "auto",
         run_id: Optional[int] = None,
+        vocab_override: Optional[List[str]] = None,
+        metrics_postprocess: Optional[Callable[[Dict[str, Any]], Dict[str, Any]]] = None,
     ) -> None:
+        # vocab_override renames the recorder's pattern vocabulary (e.g. the
+        # monomodal driver records under the MODALITY name, reference
+        # train_monomodal.py:242-247); metrics_postprocess runs over each
+        # epoch's flattened metric dict before recording/JSON.
+        self.vocab_override = vocab_override
+        self.metrics_postprocess = metrics_postprocess
         self.json_nesting = json_nesting
         self.run_id = run_id
         self.task = task
@@ -161,6 +169,16 @@ class TrainLoop:
             "train": [],
             "validation": [],
         }
+        # Nested (per-group dict) history + per-term loss means: the CMAM
+        # driver's report records carry group DICTS plus cosine/mae/mse
+        # columns (reference train_cmam.py:532-560 metrics_history +
+        # val_loss_info means) — steps expose them via out["terms"].
+        self.metrics_history_nested: Dict[str, List[Dict[str, Any]]] = {
+            "train": [],
+            "validation": [],
+        }
+        self.test_metrics_nested: Dict[str, Dict[str, Any]] = {}
+        self._phase_terms: List[Any] = []
         self._rng = jax.random.PRNGKey(0)
 
     # -- epochs ---------------------------------------------------------------
@@ -175,7 +193,7 @@ class TrainLoop:
         from mmtpu.train import device_loop as dl
 
         fn, ds, batch_size, shuffle, seed = self._scan[split]
-        vocab = ds.pattern_vocab()
+        vocab = self._vocab(ds.pattern_vocab())
         t0 = time.time()
         # streaming BatchLoader counts epochs from 0 — keep the seeded
         # shuffle/pattern draws identical between the two paths
@@ -242,6 +260,8 @@ class TrainLoop:
                         self.task.model, self.state.variables, inputs
                     )
             losses.append(out["loss"])
+            if "terms" in out:
+                self._phase_terms.append(out["terms"])
             self._record(self.recorder, out, vocab)
         if mon is not None:
             mon.end_epoch(self.state)
@@ -259,6 +279,8 @@ class TrainLoop:
         for batch in self._device_batches(loader):
             out = self.eval_step(self.state, batch)
             losses.append(out["loss"])
+            if "terms" in out:
+                self._phase_terms.append(out["terms"])
             self._record(self.recorder, out, vocab)
         if losses:
             jax.block_until_ready(losses[-1])
@@ -267,40 +289,73 @@ class TrainLoop:
             self.timing_history[key].append(time.time() - t0)
         return float(np.mean(jax.device_get(losses))) if losses else 0.0
 
+    def _vocab(self, vocab: List[str]) -> List[str]:
+        if self.vocab_override is not None and len(self.vocab_override) == len(vocab):
+            return self.vocab_override
+        return vocab
+
     def _default_record(self, recorder, out, vocab) -> None:
         recorder.update_group_ids(
             self.group_name,
             out["preds"],
             out["labels"],
             out.get("pattern_id", np.zeros(np.asarray(out["preds"]).shape[0], np.int32)),
-            vocab,
+            self._vocab(vocab),
             out.get("sample_mask"),
         )
 
     # -- driver -----------------------------------------------------------------
+
+    def _drain_terms(self) -> Dict[str, float]:
+        """Per-epoch means of the step's auxiliary loss terms (total_loss
+        excluded — reference val_loss_info semantics, train_cmam.py:556)."""
+        terms, self._phase_terms = self._phase_terms, []
+        if not terms:
+            return {}
+        host = jax.device_get(terms)
+        return {
+            k: float(np.mean([np.asarray(t[k]) for t in host]))
+            for k in host[0]
+            if k != "total_loss"
+        }
 
     def run(self) -> Dict[str, Any]:
         best_metrics: Optional[Dict[str, Any]] = None
         for epoch in range(1, self.epochs + 1):
             self.recorder.reset()
             train_loss = self.train_epoch(epoch)
+            raw_train = self.recorder.calculate_all_groups(
+                epoch=epoch, loss=train_loss
+            )
             # flatten_leaves: metric keys carry no group prefix, exactly like
             # the reference output schema (see utils.flatten_leaves)
-            train_metrics = flatten_leaves(
-                self.recorder.calculate_all_groups(epoch=epoch, loss=train_loss)
-            )
+            train_metrics = flatten_leaves(raw_train)
             train_metrics["loss"] = train_loss
+            if self.metrics_postprocess is not None:
+                train_metrics = self.metrics_postprocess(train_metrics)
             self.metrics_history["train"].append(dict(train_metrics))
+            # reference records no per-term means for train (train_cmam.py
+            # adds val_loss_info to validation only); drain to reset
+            self._drain_terms()
+            self.metrics_history_nested["train"].append(
+                {**raw_train, "loss": train_loss}
+            )
 
             self.recorder.reset()
             val_loss = self.eval_epoch("validation")
-            val_metrics = flatten_leaves(
-                self.recorder.calculate_all_groups(
-                    epoch=epoch, loss=val_loss, skip_tensorboard=False
-                )
+            raw_val = self.recorder.calculate_all_groups(
+                epoch=epoch, loss=val_loss, skip_tensorboard=False
             )
+            val_terms = self._drain_terms()
+            val_metrics = flatten_leaves(raw_val)
             val_metrics["loss"] = val_loss
+            val_metrics.update(val_terms)
+            if self.metrics_postprocess is not None:
+                val_metrics = self.metrics_postprocess(val_metrics)
             self.metrics_history["validation"].append(dict(val_metrics))
+            self.metrics_history_nested["validation"].append(
+                {**raw_val, "loss": val_loss, **val_terms}
+            )
 
             n_train = max(len(self.loaders["train"]), 1)
             n_val = max(len(self.loaders["validation"]), 1)
@@ -402,11 +457,19 @@ class TrainLoop:
             t0 = time.time()
             loss = self.eval_epoch(split)
             elapsed = time.time() - t0
-            metrics = flatten_leaves(
-                self.recorder.calculate_all_groups(loss=loss, skip_tensorboard=True)
+            raw = self.recorder.calculate_all_groups(
+                loss=loss, skip_tensorboard=True
             )
+            test_terms = self._drain_terms()
+            metrics = flatten_leaves(raw)
             metrics["loss"] = loss
+            metrics.update(test_terms)
+            if self.metrics_postprocess is not None:
+                metrics = self.metrics_postprocess(metrics)
             results[split] = metrics
+            self.test_metrics_nested[split] = {
+                **raw, "loss": loss, **test_terms
+            }
             if self.metrics_path:
                 # single canonical writer (reference records schema); the
                 # CLI's later generate_report re-emits it with the full

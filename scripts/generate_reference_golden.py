@@ -11,6 +11,12 @@ The reference's external deps missing from this image are shimmed:
 Outputs into tests/golden/:
     reference_avmnist/epoch_metrics.json + test_metrics.json
     reference_multimodal/epoch_metrics.json + test_metrics.json  (mmimdb)
+    reference_monomodal/{train,validation,test}_metrics.json + artifacts.json
+        (train_monomodal.py on the avmnist audio-encoder config; artifacts =
+         checkpoint/encoder file names + encoder state-dict keys,
+         train_monomodal.py:790-802)
+    reference_cmam/{train,validation,test}_metrics.json
+        (train_cmam.py image->text on the tiny mmimdb run's best.pth)
 
 Usage: python scripts/generate_reference_golden.py
 """
@@ -65,7 +71,9 @@ def install_shims() -> None:
             return cls(name)
 
         def __str__(self):
-            return self._key
+            # the real package stringifies uppercase: train_monomodal.py's
+            # modality-key discovery tests `"AUDIO" in str(key)` (:114-120)
+            return self._key.upper()
 
         def __hash__(self):
             return hash(self._key)
@@ -203,6 +211,8 @@ def make_mmimdb_data(root: Path, n_train=24, n_eval=12) -> None:
 
 AVMNIST_SRC = REF / "configs/avmnist/centralised/train_avmnist.yaml"
 MMIMDB_SRC = REF / "configs/mmimdb/centralised/mmimdb_baseline.yaml"
+MONO_SRC = REF / "configs/avmnist/mono/train_audio_encoder.yaml"
+CMAM_SRC = REF / "configs/mmimdb/centralised/cmams/image_to_text.yaml"
 
 
 def write_tiny_config(src: Path, dst: Path, root: Path, epochs=2) -> None:
@@ -220,15 +230,26 @@ def write_tiny_config(src: Path, dst: Path, root: Path, epochs=2) -> None:
 
 # ---------------------------------------------------------------------------
 
-def run_reference(entry: str, config_path: Path, run_id: int, cwd: Path):
-    """Drive a reference trainer module's main() with argv."""
+def run_reference(entry: str, config_path: Path, run_id: int, cwd: Path,
+                  extra_args: tuple = ("--disable_monitoring",)):
+    """Drive a reference trainer module's main() with argv.
+    train_monomodal.py has no --disable_monitoring flag — pass extra_args=()."""
     import runpy
 
     argv = [entry, "--config", str(config_path), "--run_id", str(run_id),
-            "--disable_monitoring"]
+            *extra_args]
     old_argv, old_cwd = sys.argv, Path.cwd()
     sys.argv = argv
     import os
+
+    # train_cmam.py calls gpu_memory(), which raises on CPU-only hosts —
+    # stub it before the driver binds the name at import.
+    try:
+        import experiment_utils.utils as _eu
+
+        _eu.gpu_memory = lambda *a, **k: "Allocated:\t0.00GB\nCached:\t0.00GB"
+    except Exception:
+        pass
 
     os.chdir(cwd)
     try:
@@ -239,7 +260,10 @@ def run_reference(entry: str, config_path: Path, run_id: int, cwd: Path):
     except Exception as e:  # noqa: BLE001
         # Post-training tails can fail in this image (no pdflatex); the
         # metrics JSONs are already on disk by then.
+        import traceback
+
         print(f"reference {entry} tail failure tolerated: {type(e).__name__}: {e}")
+        traceback.print_exc()
     finally:
         sys.argv = old_argv
         os.chdir(old_cwd)
@@ -261,7 +285,35 @@ def harvest(root: Path, experiment_glob: str, dst: Path) -> None:
             print(f"WARNING: {name} not found under {out_dir}")
 
 
+def harvest_monomodal_artifacts(root: Path, dst: Path) -> None:
+    """Record the monomodal checkpoint/encoder artifact schema
+    (train_monomodal.py:790-802): file names in the models dir plus the
+    bare-encoder state-dict keys — the handoff contract train_multimodal's
+    pretrained_encoders loading consumes."""
+    hits = sorted(root.glob("experiments_output/*Audio*/models/1"))
+    if not hits:
+        hits = sorted(root.glob("experiments_output/*/models/1"))
+    model_dir = hits[-1]
+    files = sorted(p.name for p in model_dir.iterdir())
+    enc = sorted(model_dir.glob("encoder_*_best.pth"))
+    encoder_keys = []
+    if enc:
+        sd = torch.load(enc[-1], map_location="cpu", weights_only=True)
+        encoder_keys = sorted(sd.keys())
+    (dst / "artifacts.json").write_text(json.dumps(
+        {"model_files": files, "encoder_state_dict_keys": encoder_keys},
+        indent=2,
+    ))
+    print(f"harvested artifact schema -> {dst / 'artifacts.json'}")
+
+
 def main() -> int:
+    # argv selects which fixtures to regenerate (default: all). cmam needs
+    # the multimodal run's best.pth, so it pulls multimodal in.
+    only = set(sys.argv[1:]) or {"avmnist", "multimodal", "monomodal", "cmam"}
+    if "cmam" in only:
+        only.add("multimodal")
+
     install_shims()
     tmp = Path(tempfile.mkdtemp(prefix="ref_golden_"))
     print("workdir:", tmp)
@@ -269,18 +321,41 @@ def main() -> int:
     make_avmnist_data(tmp)
     make_mmimdb_data(tmp)
 
-    av_cfg = tmp / "avmnist_tiny.yaml"
-    write_tiny_config(AVMNIST_SRC, av_cfg, tmp)
-    run_reference("train_avmnist.py", av_cfg, 1, tmp)
-    harvest(tmp, "experiments_output/*/metrics/1", GOLDEN / "reference_avmnist")
+    if "avmnist" in only:
+        av_cfg = tmp / "avmnist_tiny.yaml"
+        write_tiny_config(AVMNIST_SRC, av_cfg, tmp)
+        run_reference("train_avmnist.py", av_cfg, 1, tmp)
+        harvest(tmp, "experiments_output/*/metrics/1",
+                GOLDEN / "reference_avmnist")
 
-    mm_cfg = tmp / "mmimdb_tiny.yaml"
-    write_tiny_config(MMIMDB_SRC, mm_cfg, tmp)
-    run_reference("train_multimodal.py", mm_cfg, 1, tmp)
-    harvest(
-        tmp, "experiments_output/mm_imdb*/metrics/1",
-        GOLDEN / "reference_multimodal",
-    )
+    if "multimodal" in only:
+        mm_cfg = tmp / "mmimdb_tiny.yaml"
+        write_tiny_config(MMIMDB_SRC, mm_cfg, tmp)
+        run_reference("train_multimodal.py", mm_cfg, 1, tmp)
+        harvest(
+            tmp, "experiments_output/mm_imdb*/metrics/1",
+            GOLDEN / "reference_multimodal",
+        )
+
+    if "monomodal" in only:
+        mono_cfg = tmp / "mono_tiny.yaml"
+        write_tiny_config(MONO_SRC, mono_cfg, tmp)
+        run_reference("train_monomodal.py", mono_cfg, 1, tmp, extra_args=())
+        mono_dst = GOLDEN / "reference_monomodal"
+        harvest(tmp, "experiments_output/*Audio*/metrics/1", mono_dst)
+        harvest_monomodal_artifacts(tmp, mono_dst)
+
+    if "cmam" in only:
+        # CMAM trains against the tiny mmimdb run's best.pth (the reference
+        # config's pretrained_path points at that experiment, resolved
+        # relative to the workdir)
+        cmam_cfg = tmp / "cmam_tiny.yaml"
+        write_tiny_config(CMAM_SRC, cmam_cfg, tmp)
+        run_reference("train_cmam.py", cmam_cfg, 1, tmp)
+        harvest(
+            tmp, "experiments_output/MM_IMDb_C_MAM*/metrics/1",
+            GOLDEN / "reference_cmam",
+        )
     print("golden fixtures written to", GOLDEN)
     return 0
 

@@ -28,6 +28,9 @@ SPLIT_FRACS = {"train": 0.6, "validation": 0.2, "test": 0.2}
 AUDIO_SHAPE = (128, 128)
 D_VIDEO = 400
 SNR_AUDIO, SNR_VIDEO = 0.5, 0.35
+# feature-side label corruption (round-3 calibration off the 0.99 ceiling:
+# single-modality ceiling ~(1-p)+p/26, fusion recovers part of it)
+FLIP_AUDIO, FLIP_VIDEO = 0.35, 0.50
 
 
 def main() -> None:
@@ -53,14 +56,22 @@ def main() -> None:
     labels = np.repeat(np.arange(N_CLASSES), args.per_class)
     rng.shuffle(labels)
 
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from _synthetic_common import corrupt_labels
+
+    seen_a = corrupt_labels(rng, labels, N_CLASSES, FLIP_AUDIO)
+    seen_v = corrupt_labels(rng, labels, N_CLASSES, FLIP_VIDEO)
+
     rows = []
     for i, y in enumerate(labels):
         audio = (
-            SNR_AUDIO * audio_proto[y] * np.sqrt(AUDIO_SHAPE[0])
+            SNR_AUDIO * audio_proto[seen_a[i]] * np.sqrt(AUDIO_SHAPE[0])
             + rng.normal(size=AUDIO_SHAPE)
         ).astype(np.float32)
         video = (
-            SNR_VIDEO * video_proto[y] * np.sqrt(D_VIDEO)
+            SNR_VIDEO * video_proto[seen_v[i]] * np.sqrt(D_VIDEO)
             + rng.normal(size=(D_VIDEO,))
         ).astype(np.float32)
         ap_, vp_ = root / "tensors" / f"a_{i:05d}.pt", root / "tensors" / f"v_{i:05d}.pt"

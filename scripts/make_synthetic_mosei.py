@@ -34,9 +34,15 @@ def main(out_root: str = "DATA") -> None:
         lengths = rng.integers(20, T + 1, size=n)
         cls = np.where(s < -0.5, 0, np.where(s > 0.5, 2, 1)).astype(np.int64)
         data[split] = {
-            "audio": modality_features(rng, s, lengths, projs["audio"], 0.35, T),
-            "vision": modality_features(rng, s, lengths, projs["vision"], 0.25, T),
-            "text": modality_features(rng, s, lengths, projs["text"], 0.12, T),
+            # latent_sigma: per-modality observation noise — the Bayes
+            # ceiling for the full pattern lands in the published band
+            # instead of saturating (see _synthetic_common docstring)
+            "audio": modality_features(rng, s, lengths, projs["audio"], 0.35, T,
+                                       latent_sigma=2.6),
+            "vision": modality_features(rng, s, lengths, projs["vision"], 0.25, T,
+                                        latent_sigma=3.0),
+            "text": modality_features(rng, s, lengths, projs["text"], 0.12, T,
+                                      latent_sigma=2.0),
             "classification_labels": cls,
             "regression_labels": s,
             "audio_lengths": lengths.astype(np.int64),

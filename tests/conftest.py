@@ -13,6 +13,16 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Persistent XLA compilation cache, shared by this process AND every
+# subprocess CLI test (env vars inherit): repeat compiles of the same tiny
+# models drop from seconds to ~0. The dir survives across sessions.
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                      ".cache", "jax")
+os.makedirs(_CACHE, exist_ok=True)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+
 import jax  # noqa: E402
 
 # The axon TPU plugin (sitecustomize) overrides JAX_PLATFORMS from the env;

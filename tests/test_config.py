@@ -206,3 +206,20 @@ def test_modality_identity():
     assert str(Modality.AUDIO) == "audio"
     assert f"{Modality.AUDIO}_original" == "audio_original"
     assert Modality.from_str("IMAGE") is Modality.IMAGE
+
+
+def test_experiment_name_sanitization_matches_reference():
+    """Output dirs must match the reference byte-for-byte: spaces, hyphens
+    and specials collapse to underscores (logging_config.py:79-81) — e.g.
+    the C-MAM experiments land in MM_IMDb_C_MAM_* like the reference."""
+    from mmtpu.config.logging_ import LoggingConfig
+
+    cfg = LoggingConfig.from_dict(
+        {
+            "log_path": "out/{experiment_name}/logs/{run_id}",
+            "model_output_path": "out/{experiment_name}/models/{run_id}",
+            "metrics_path": "out/{experiment_name}/metrics/{run_id}",
+        },
+        experiment_name="MM_IMDb C-MAM Image to Text", run_id=1,
+    )
+    assert "MM_IMDb_C_MAM_Image_to_Text" in str(cfg.log_path)

@@ -151,3 +151,29 @@ class TestAVMNISTModel:
         )
         _, out = _init_apply(mono, jnp.zeros((2, 32, 94, 1)))
         assert out.shape == (2, 10)
+
+
+def test_residual_unet_ae_shapes_and_blocks():
+    """ResidualUnetAE (reference autoencoder.py:152-255): mirrored U-Net fc
+    stacks with concat/add skip fusion, residual block chaining, and the
+    (final, {block: recon}) return shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmtpu.models import build_module
+
+    for fusion in ("concat", "add"):
+        ae = build_module(
+            "residual_unet_ae", layers=[32, 16, 8], n_blocks=2,
+            input_dim=24, dropout=0.0, fusion=fusion,
+        )
+        x = jnp.ones((4, 24))
+        v = ae.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        out, blocks = ae.apply(v, x, train=False)
+        assert out.shape == (4, 24)
+        assert set(blocks) == {0, 1}
+        assert all(b.shape == (4, 24) for b in blocks.values())
+        # final ReLU: reconstructions are non-negative (reference quirk)
+        import numpy as np
+
+        assert float(np.asarray(out).min()) >= 0.0

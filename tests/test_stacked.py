@@ -1,0 +1,189 @@
+"""Stacked runs (mmtpu/train/stacked.py): K models in one compiled program
+must be bit-identical to K separate runs — vmap is a batching transform,
+not an approximation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmtpu.config.optim import OptimizerConfig
+from mmtpu.models import build_module
+from mmtpu.train.losses import LossFunctionGroup
+from mmtpu.train.optim import build_optimizer
+from mmtpu.train.stacked import (
+    StackedLoaderGroup,
+    make_stacked_eval_step,
+    make_stacked_train_step,
+    stack_batches,
+    stack_states,
+    stacked_rngs,
+    unstack_states,
+)
+from mmtpu.train.state import TrainState
+from mmtpu.train.step import ClassificationTask, make_train_step
+
+K = 3
+
+
+def build_runs(k: int):
+    """One model/task/optimizer (the run_n / CV setting: same config),
+    k differently-seeded parameter sets. States share tx/apply_fn — the
+    static pytree aux data must be identical for stacking."""
+    model = build_module(
+        "fcclassifier", input_dim=12, layers=[16], output_dim=4, dropout=0.0
+    )
+    task = ClassificationTask(
+        model=model,
+        loss_group=LossFunctionGroup.from_dict(
+            {"ce": {"loss_name": "cross_entropy", "weight": 1.0}}
+        ),
+        input_keys=("x",),
+    )
+    params0 = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 12)))["params"]
+    tx, _ = build_optimizer(
+        OptimizerConfig(name="Adam", default_kwargs={"lr": 1e-2}), params0
+    )
+    states = []
+    for seed in range(k):
+        params = model.init(
+            jax.random.PRNGKey(seed), jnp.zeros((2, 12))
+        )["params"]
+        states.append(TrainState.create(
+            apply_fn=model.apply, params=params, tx=tx, batch_stats={}
+        ))
+    return states, task
+
+
+def make_batch(seed: int, B=16):
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, 4, B)
+    return {
+        "x": (rng.normal(size=(B, 12)) + labels[:, None]).astype(np.float32),
+        "labels": labels,
+    }
+
+
+def test_stacked_step_matches_separate_runs():
+    states, task = build_runs(K)
+    batches = [make_batch(100 + s) for s in range(K)]
+    rng = jax.random.PRNGKey(7)
+    rngs = stacked_rngs(rng, K)
+
+    # separate runs, 3 steps each
+    sep_step = make_train_step(task, donate=False)
+    sep_states, sep_losses = list(states), []
+    for s in range(K):
+        st = sep_states[s]
+        for t in range(3):
+            st, out = sep_step(
+                st, jax.device_put(batches[s]), jax.random.fold_in(rngs[s], t)
+            )
+        sep_states[s] = st
+        sep_losses.append(float(out["loss"]))
+
+    # one stacked program, 3 steps
+    stacked = stack_states(states)
+    sbatch = stack_batches(batches)
+    sstep = make_stacked_train_step(task, donate=False)
+    for t in range(3):
+        step_rngs = jnp.stack(
+            [jax.random.fold_in(rngs[s], t) for s in range(K)]
+        )
+        stacked, souts = sstep(stacked, sbatch, step_rngs)
+
+    np.testing.assert_allclose(
+        np.asarray(souts["loss"]), np.asarray(sep_losses), rtol=1e-6
+    )
+    for s, st in enumerate(unstack_states(stacked, K)):
+        a = jax.tree_util.tree_leaves(jax.device_get(st.params))
+        b = jax.tree_util.tree_leaves(jax.device_get(sep_states[s].params))
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-7)
+
+
+def test_stacked_eval_matches_separate():
+    states, task = build_runs(K)
+    batches = [make_batch(200 + s) for s in range(K)]
+    from mmtpu.train.step import make_eval_step
+
+    sep = [
+        make_eval_step(task)(states[s], jax.device_put(batches[s]))
+        for s in range(K)
+    ]
+    stacked_out = make_stacked_eval_step(task)(
+        stack_states(states), stack_batches(batches)
+    )
+    for s in range(K):
+        np.testing.assert_array_equal(
+            np.asarray(stacked_out["preds"][s]), np.asarray(sep[s]["preds"])
+        )
+
+
+def test_loader_group_pads_exhausted_folds():
+    from mmtpu.data.avmnist import SyntheticAVMNIST
+    from mmtpu.data.loader import BatchLoader
+
+    loaders = [
+        BatchLoader(
+            SyntheticAVMNIST(split="train", num_samples=n,
+                             selected_patterns=["ai"], seed=s),
+            16, prefetch=0,
+        )
+        for s, n in enumerate((48, 32))  # 3 steps vs 2 steps
+    ]
+    group = StackedLoaderGroup(loaders)
+    assert len(group) == 3
+    steps = list(group)
+    assert len(steps) == 3
+    # fold 1's third step is padding: sample_mask all zero
+    last = steps[-1]
+    assert float(np.asarray(last["sample_mask"][1]).sum()) == 0.0
+    assert float(np.asarray(last["sample_mask"][0]).sum()) > 0.0
+    # static shapes across steps
+    assert all(
+        np.asarray(s["labels"]).shape == (2, 16) for s in steps
+    )
+
+
+def test_stacked_cv_cli_matches_sequential(tmp_path):
+    """--stacked-folds must reproduce sequential CV: same per-fold epoch
+    losses (early stopping off, same seeds) and the same aggregate files."""
+    import json
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    REPO = Path(__file__).resolve().parent.parent
+    cfg = REPO / "configs/avmnist/synthetic_cv.yaml"
+    env = {**os.environ, "PYTHONPATH": str(REPO), "JAX_PLATFORMS": "cpu"}
+
+    def run(workdir, extra=()):
+        workdir.mkdir(exist_ok=True)
+        e = {**env, "EXP_PATH": str(workdir)}
+        r = subprocess.run(
+            [sys.executable, "-m", "mmtpu.cli.train_multimodal",
+             "--config", str(cfg), "--run_id", "1", "--cpu", *extra],
+            capture_output=True, text=True, env=e, cwd=workdir, timeout=560,
+        )
+        assert r.returncode == 0, r.stderr[-2500:]
+        base = next(workdir.glob("experiments_output/*/metrics/1"))
+        return base
+
+    seq = run(tmp_path / "seq")
+    stk = run(tmp_path / "stk", extra=["--stacked-folds"])
+
+    for fold in (1, 2):
+        a = json.loads((seq / f"fold_{fold}/epoch_metrics.json").read_text())
+        b = json.loads((stk / f"fold_{fold}/epoch_metrics.json").read_text())
+        la = [e["train"]["loss"] for e in a if "train" in e]
+        lb = [e["train"]["loss"] for e in b if "train" in e]
+        assert len(la) == len(lb) >= 2
+        np.testing.assert_allclose(la, lb, rtol=1e-4)
+    agg_a = json.loads((seq / "validation_metrics_agg.json").read_text())
+    agg_b = json.loads((stk / "validation_metrics_agg.json").read_text())
+    assert len(agg_a) == len(agg_b)
+    assert set(agg_a[0]) == set(agg_b[0])
+    for ka in agg_a[0]:
+        np.testing.assert_allclose(agg_a[0][ka], agg_b[0][ka], rtol=1e-3,
+                                   atol=1e-6)
