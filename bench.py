@@ -222,17 +222,25 @@ def measure(builder, B, precision, windows=8, steps=60, warmup=10,
 
     n_chips = jax.device_count()
     rates = [steps * B / dt / n_chips for dt in dts]
+    # Linear canary scaling is an UPPER bound on the quiet-chip rate: the
+    # canary is pure MXU work and degrades more under contention than the
+    # train step's mixed compute/memory profile. Cap the estimate at the
+    # program's peak-FLOPs throughput (MFU 1.0) so it is never implausible.
     norm = [r * QUIET_CANARY_TFLOPS / c for r, c in zip(rates, canaries)]
+    normalized = statistics.median(norm)
+    if flops:
+        rate_at_peak = V5E_PEAK_FLOPS * B / flops
+        normalized = min(normalized, rate_at_peak)
     best = max(rates)
     mfu = (flops * best * n_chips / B / V5E_PEAK_FLOPS) if flops else None
     mfu_norm = (
-        flops * statistics.median(norm) * n_chips / B / V5E_PEAK_FLOPS
+        flops * normalized * n_chips / B / V5E_PEAK_FLOPS
         if flops else None
     )
     return {
         "best": best,
         "median": statistics.median(rates),
-        "normalized": statistics.median(norm),
+        "normalized": normalized,
         "mfu": mfu,
         "mfu_normalized": mfu_norm,
         "canary_median": statistics.median(canaries),

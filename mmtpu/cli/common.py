@@ -55,6 +55,13 @@ def standard_arg_parser(description: str) -> argparse.ArgumentParser:
              "into <log_path>/profile (view with TensorBoard)",
     )
     p.add_argument(
+        "--eval-batch-factor", "--eval_batch_factor",
+        dest="eval_batch_factor", type=int, default=1, metavar="N",
+        help="Device-resident eval only: fuse the patterns x samples eval "
+             "product into N-x larger batches (identical predictions/"
+             "metrics; more MXU work per dispatch at small batch sizes)",
+    )
+    p.add_argument(
         "--stacked-folds", "--stacked_folds", dest="stacked_folds",
         action="store_true",
         help="Cross-validation only: train ALL folds simultaneously in one "

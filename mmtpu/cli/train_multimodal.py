@@ -122,6 +122,7 @@ def run_single(cfg, args, cv_no=None, json_nesting="reference", collect=None) ->
         monitor=common.make_monitor(cfg),
         json_nesting=json_nesting,
         run_id=args.run_id,
+        eval_batch_factor=getattr(args, "eval_batch_factor", 1),
     )
 
     if args.dry_run or cfg.experiment.dry_run:

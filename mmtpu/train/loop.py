@@ -82,6 +82,7 @@ class TrainLoop:
         run_id: Optional[int] = None,
         vocab_override: Optional[List[str]] = None,
         metrics_postprocess: Optional[Callable[[Dict[str, Any]], Dict[str, Any]]] = None,
+        eval_batch_factor: int = 1,
     ) -> None:
         # vocab_override renames the recorder's pattern vocabulary (e.g. the
         # monomodal driver records under the MODALITY name, reference
@@ -154,12 +155,19 @@ class TrainLoop:
                 if mesh is not None and loader.batch_size % dp:
                     continue  # batch not shardable over the data axis
                 data = dl.DeviceResidentData.upload(ds, mesh=mesh)
+                # eval visits the (patterns x samples) product; fusing it
+                # into larger batches multiplies the work per dispatch
+                # (predictions/metrics identical — only the mean-of-batch-
+                # means loss weighting can shift on tail batches)
+                bs = loader.batch_size * (
+                    1 if split == "train" else max(1, int(eval_batch_factor))
+                )
                 fn = (
                     dl.make_scan_train_epoch(task, data, mesh=mesh)
                     if split == "train"
                     else dl.make_scan_eval_epoch(task, data, mesh=mesh)
                 )
-                self._scan[split] = (fn, ds, loader.batch_size,
+                self._scan[split] = (fn, ds, bs,
                                      getattr(loader, "shuffle", False),
                                      getattr(loader, "seed", 0))
 

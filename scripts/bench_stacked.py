@@ -74,19 +74,29 @@ def build_states(K, B):
 
 def timeit(fn, *args, steps=30, windows=3):
     import jax
+    import jax.numpy as jnp
 
     state = args[0]
     rest = args[1:]
+
+    def barrier(st):
+        # data-dependent scalar fetch — the only reliable completion
+        # barrier over the axon tunnel (bare block_until_ready returns
+        # early there; see bench.py methodology) — then drain the state
+        s = float(jnp.sum(jax.tree_util.tree_leaves(st.params)[0]))
+        jax.block_until_ready(st)
+        return s
+
     out = None
     for _ in range(5):
         state, out = fn(state, *rest)
-    jax.block_until_ready(state)
+    barrier(state)
     best = float("inf")
     for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(steps):
             state, out = fn(state, *rest)
-        jax.block_until_ready(state)
+        barrier(state)
         best = min(best, time.perf_counter() - t0)
     return best / steps
 

@@ -21,7 +21,7 @@ from mmtpu.train.state import TrainState
 from mmtpu.train.step import ClassificationTask
 
 
-def build_loop(device_resident: str, mesh=None) -> TrainLoop:
+def build_loop(device_resident: str, mesh=None, eval_batch_factor: int = 1) -> TrainLoop:
     ds_tr = SyntheticAVMNIST(
         split="train", num_samples=96, selected_patterns=["ai"], seed=1
     )
@@ -70,6 +70,7 @@ def build_loop(device_resident: str, mesh=None) -> TrainLoop:
         checkpoint_manager=CheckpointManager(tempfile.mkdtemp()),
         epochs=2, early_stopping=EarlyStopping(enabled=False),
         device_resident=device_resident, mesh=mesh,
+        eval_batch_factor=eval_batch_factor,
     )
 
 
@@ -164,3 +165,19 @@ def test_scan_on_mesh_skips_indivisible_batch():
     )
     assert "train" not in loop2._scan
     assert "validation" in loop2._scan
+
+
+def test_eval_batch_factor_identical_metrics():
+    """Fusing the patterns x samples eval product into larger scan batches
+    (--eval-batch-factor) leaves metrics identical — predictions cover the
+    same (sample, pattern) set; only the per-dispatch batch grows."""
+    base = build_loop("on")
+    base.run()
+    fused = build_loop("on", eval_batch_factor=3)
+    assert fused._scan["validation"][2] == 96  # 32 * 3
+    assert fused._scan["train"][2] == 32  # train batch untouched
+    fused.run()
+    assert (
+        base.epoch_metrics[-1]["validation"].get("metrics")
+        == fused.epoch_metrics[-1]["validation"].get("metrics")
+    )
