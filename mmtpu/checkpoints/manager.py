@@ -126,12 +126,109 @@ class CheckpointManager:
             "opt_state": _to_host(state.opt_state),
             "step": 0,
         }
-        tree = load_pytree(path, target)
+        raw = load_pytree(path)
+        tree = serialization.from_state_dict(
+            target, adapt_lstm_layout(raw, serialization.to_state_dict(target))
+        )
         return state.replace(
             params=tree["params"],
             batch_stats=tree["batch_stats"],
             opt_state=tree["opt_state"],
         )
+
+
+_GATES = ("i", "f", "g", "o")  # flax OptimizedLSTMCell gate order; the
+# fused layout (models/lstm.py backend='fused', ops/lstm.py) uses the same.
+
+
+def _is_cell(node: Any) -> bool:
+    return isinstance(node, dict) and all(
+        f"i{g}" in node and f"h{g}" in node for g in _GATES
+    )
+
+
+def _find_cell_path(node: Any, path=()):
+    """Path of the first per-gate OptimizedLSTMCell param dict under node."""
+    if _is_cell(node):
+        return path
+    if isinstance(node, dict):
+        for k, v in node.items():
+            r = _find_cell_path(v, path + (k,))
+            if r is not None:
+                return r
+    return None
+
+
+def _fuse_cell(cell: Dict[str, Any]):
+    """Per-gate {i*,h*} Dense params → fused (wi Dense, wh matrix).
+
+    The per-gate cell computes gate = act(i{g}(x) + h{g}(h)) with the bias
+    on the h-side Dense; the fused path computes the identical
+    act((x@Wi + b) + h@Wh) with gate blocks concatenated along the 4H axis."""
+    wi_k = np.concatenate(
+        [np.asarray(cell[f"i{g}"]["kernel"]) for g in _GATES], axis=-1
+    )
+    wi_b = np.concatenate(
+        [np.asarray(cell[f"h{g}"]["bias"]) for g in _GATES], axis=-1
+    )
+    wh = np.concatenate(
+        [np.asarray(cell[f"h{g}"]["kernel"]) for g in _GATES], axis=-1
+    )
+    return {"kernel": wi_k, "bias": wi_b}, wh
+
+
+def _unfuse_cell(wi: Dict[str, Any], wh: Any) -> Dict[str, Any]:
+    wh = np.asarray(wh)
+    H = wh.shape[-1] // 4
+    cell: Dict[str, Any] = {}
+    for n, g in enumerate(_GATES):
+        sl = slice(n * H, (n + 1) * H)
+        cell[f"i{g}"] = {"kernel": np.asarray(wi["kernel"])[..., sl]}
+        cell[f"h{g}"] = {
+            "kernel": wh[..., sl],
+            "bias": np.asarray(wi["bias"])[..., sl],
+        }
+    return cell
+
+
+def adapt_lstm_layout(state: Any, target: Any) -> Any:
+    """Bridge LSTMEncoder's two parameter layouts at restore time.
+
+    Checkpoints written before the fused wi/wh layout became the default
+    (models/lstm.py backend='rnn': per-gate OptimizedLSTMCell params,
+    possibly nested under an RNN scope) load into fused-layout models and
+    vice versa — the conversion is exact, not approximate: both layouts
+    parameterize the same math, gate order [i, f, g, o]. Optimizer-moment
+    trees (Adam mu/nu) mirror the param structure, so the same block
+    concatenation carries them over."""
+    if not (isinstance(state, dict) and isinstance(target, dict)):
+        return state
+    out = dict(state)
+    if "wi" in target and "wh" in target and not (
+        "wi" in out and "wh" in out
+    ):
+        cp = _find_cell_path(out)
+        if cp:
+            cell = out
+            for k in cp:
+                cell = cell[k]
+            out.pop(cp[0])  # the chain (e.g. rnn/cell/...) holds only the cell
+            out["wi"], out["wh"] = _fuse_cell(cell)
+    if "wi" in out and "wh" in out and not ("wi" in target and "wh" in target):
+        tp = _find_cell_path(target)
+        if tp:
+            node: Dict[str, Any] = _unfuse_cell(out.pop("wi"), out.pop("wh"))
+            for k in reversed(tp):
+                node = {k: node}
+            out.update(node)
+    return {
+        k: (
+            adapt_lstm_layout(v, target[k])
+            if isinstance(v, dict) and isinstance(target.get(k), dict)
+            else v
+        )
+        for k, v in out.items()
+    }
 
 
 def resolve_checkpoint_path(path) -> Path:
@@ -163,8 +260,12 @@ def load_encoder_checkpoint(
     for cand in candidates:
         if cand.exists() and cand.suffix == ".ckpt":
             raw = load_pytree(cand)  # plain msgpack dict
+            host_params = _to_host(target_params)
             params = serialization.from_state_dict(
-                _to_host(target_params), raw["params"]
+                host_params,
+                adapt_lstm_layout(
+                    raw["params"], serialization.to_state_dict(host_params)
+                ),
             )
             stats = None
             if target_batch_stats is not None and "batch_stats" in raw:

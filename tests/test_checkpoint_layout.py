@@ -1,0 +1,139 @@
+"""LSTM checkpoint-layout bridging (mmtpu/checkpoints/manager.py
+adapt_lstm_layout): checkpoints written by either LSTMEncoder backend —
+per-gate OptimizedLSTMCell params (backend='rnn') or the fused wi/wh
+layout (backend='fused', the default) — restore into a model built with
+the other backend, with exact numerical parity. This is what lets
+monomodal pretrain artifacts recorded before the fused-default flip chain
+into pretrained UttFusion runs (reference handoff:
+train_monomodal.py:790-802 -> train_multimodal.py:156-204)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mmtpu.checkpoints.manager import (
+    CheckpointManager,
+    adapt_lstm_layout,
+    load_encoder_checkpoint,
+)
+from mmtpu.models import build_module
+from mmtpu.train.state import TrainState
+
+
+def _make(backend, key, x, lengths):
+    m = build_module(
+        "lstmencoder",
+        input_size=int(x.shape[-1]),
+        hidden_size=8,
+        embd_method="attention",  # extra params beside the cell/wi/wh
+        backend=backend,
+    )
+    v = m.init({"params": jax.random.PRNGKey(key)}, x, lengths, train=False)
+    return m, v
+
+
+def _data():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(3, 9, 5)), jnp.float32)
+    lengths = jnp.asarray([9, 4, 7], jnp.int32)
+    return x, lengths
+
+
+def test_rnn_checkpoint_restores_into_fused_model(tmp_path):
+    x, lengths = _data()
+    rnn_model, rnn_vars = _make("rnn", 7, x, lengths)
+    fused_model, fused_vars = _make("fused", 1, x, lengths)
+
+    art = CheckpointManager(tmp_path).save_encoder(rnn_vars["params"], "audio")
+    params, _ = load_encoder_checkpoint(art, fused_vars["params"])
+
+    want = rnn_model.apply(rnn_vars, x, lengths, train=False)
+    got = fused_model.apply({"params": params}, x, lengths, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_fused_checkpoint_restores_into_rnn_model(tmp_path):
+    x, lengths = _data()
+    fused_model, fused_vars = _make("fused", 7, x, lengths)
+    rnn_model, rnn_vars = _make("rnn", 1, x, lengths)
+
+    art = CheckpointManager(tmp_path).save_encoder(fused_vars["params"], "audio")
+    params, _ = load_encoder_checkpoint(art, rnn_vars["params"])
+
+    want = fused_model.apply(fused_vars, x, lengths, train=False)
+    got = rnn_model.apply({"params": params}, x, lengths, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_matching_layouts_pass_through_unchanged(tmp_path):
+    x, lengths = _data()
+    _, fused_vars = _make("fused", 7, x, lengths)
+    from flax import serialization
+
+    sd = serialization.to_state_dict(fused_vars["params"])
+    out = adapt_lstm_layout(sd, sd)
+    for g, w in zip(
+        jax.tree_util.tree_leaves(out), jax.tree_util.tree_leaves(sd)
+    ):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_trainstate_restore_carries_adam_moments_across_layouts(tmp_path):
+    """Full-state restore: Adam mu/nu mirror the param tree, so the same
+    gate-block concatenation must carry them into the fused layout."""
+    x, lengths = _data()
+    rnn_model, rnn_vars = _make("rnn", 7, x, lengths)
+    fused_model, fused_vars = _make("fused", 1, x, lengths)
+    tx = optax.adam(1e-3)
+
+    def make_state(model, variables):
+        return TrainState.create(
+            apply_fn=model.apply, params=variables["params"], tx=tx
+        )
+
+    state = make_state(rnn_model, rnn_vars)
+
+    def loss_fn(p):
+        out = rnn_model.apply({"params": p}, x, lengths, train=False)
+        return jnp.sum(out**2)
+
+    grads = jax.grad(loss_fn)(state.params)
+    state = state.apply_gradients(grads=grads)  # non-zero mu/nu
+
+    mgr = CheckpointManager(tmp_path)
+    mgr.save_checkpoint(state, epoch=1, metric_value=0.5)
+
+    restored = mgr.load_checkpoint(make_state(fused_model, fused_vars))
+
+    # params: fused wi kernel == concat of per-gate i* kernels, i/f/g/o
+    cell = state.params["OptimizedLSTMCell_0"]
+    np.testing.assert_allclose(
+        np.asarray(restored.params["wi"]["kernel"]),
+        np.concatenate(
+            [np.asarray(cell[f"i{g}"]["kernel"]) for g in "ifgo"], axis=-1
+        ),
+    )
+    np.testing.assert_allclose(
+        np.asarray(restored.params["wh"]),
+        np.concatenate(
+            [np.asarray(cell[f"h{g}"]["kernel"]) for g in "ifgo"], axis=-1
+        ),
+    )
+    # optimizer moments carried through the same transformation
+    mu_cell = state.opt_state[0].mu["OptimizedLSTMCell_0"]
+    mu_rest = restored.opt_state[0].mu
+    np.testing.assert_allclose(
+        np.asarray(mu_rest["wi"]["kernel"]),
+        np.concatenate(
+            [np.asarray(mu_cell[f"i{g}"]["kernel"]) for g in "ifgo"], axis=-1
+        ),
+    )
+    assert float(jnp.max(jnp.abs(mu_rest["wi"]["kernel"]))) > 0.0
+
+    # the restored fused model computes the rnn model's function
+    want = rnn_model.apply({"params": state.params}, x, lengths, train=False)
+    got = fused_model.apply(
+        {"params": restored.params}, x, lengths, train=False
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
