@@ -220,7 +220,10 @@ def write_tiny_config(src: Path, dst: Path, root: Path, epochs=2) -> None:
 
     text = src.read_text()
     text = text.replace('"cuda"', '"cpu"').replace("device: cuda", "device: cpu")
-    text = re.sub(r"epochs:\s*\d+", f"epochs: {epochs}", text, count=1)
+    # line-anchored: a bare `epochs:` key only, NOT
+    # `train_print_interval_epochs:` (which sorts first in these YAMLs and
+    # silently left the real epoch count at 30, making the "tiny" runs 10x)
+    text = re.sub(r"(?m)^(\s*)epochs:\s*\d+", rf"\g<1>epochs: {epochs}", text)
     text = re.sub(r"batch_size:\s*\d+", "batch_size: 8", text)
     text = re.sub(r"num_workers:\s*\d+", "num_workers: 0", text)
     text = text.replace("$EXP_PATH", str(root))

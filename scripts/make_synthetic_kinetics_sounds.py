@@ -28,9 +28,12 @@ SPLIT_FRACS = {"train": 0.6, "validation": 0.2, "test": 0.2}
 AUDIO_SHAPE = (128, 128)
 D_VIDEO = 400
 SNR_AUDIO, SNR_VIDEO = 0.5, 0.35
-# feature-side label corruption (round-3 calibration off the 0.99 ceiling:
-# single-modality ceiling ~(1-p)+p/26, fusion recovers part of it)
-FLIP_AUDIO, FLIP_VIDEO = 0.35, 0.50
+# Light feature-side label corruption. This family was never at the
+# ceiling (round-2, flip=0: test AV 0.532 on 26 classes), so the ceiling
+# guard stays mild — at 0.35/0.50 flips the ~18 clean train samples/class
+# could no longer anchor the class prototypes and the run collapsed to
+# memorization (train loss 1.8, val loss 9.8, test AV 0.083).
+FLIP_AUDIO, FLIP_VIDEO = 0.10, 0.15
 
 
 def main() -> None:
