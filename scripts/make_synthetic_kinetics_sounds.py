@@ -28,12 +28,21 @@ SPLIT_FRACS = {"train": 0.6, "validation": 0.2, "test": 0.2}
 AUDIO_SHAPE = (128, 128)
 D_VIDEO = 400
 SNR_AUDIO, SNR_VIDEO = 0.5, 0.35
-# Light feature-side label corruption. This family was never at the
-# ceiling (round-2, flip=0: test AV 0.532 on 26 classes), so the ceiling
-# guard stays mild — at 0.35/0.50 flips the ~18 clean train samples/class
-# could no longer anchor the class prototypes and the run collapsed to
-# memorization (train loss 1.8, val loss 9.8, test AV 0.083).
-FLIP_AUDIO, FLIP_VIDEO = 0.10, 0.15
+# NO feature-side label corruption for this family. Calibration history:
+# KS was never at the ceiling (flip=0 round-2 run: test AV 0.532 on 26
+# classes), so the anti-saturation guard the MOSI/IEMOCAP/MOSEI
+# generators carry is unnecessary here — and actively harmful. Because
+# the corruption is feature-side (features drawn from a flipped class's
+# prototype) and splits are carved after generation, the VALIDATION set
+# inherits it too; once the model grows confident, cross-entropy on those
+# genuinely-wrong-feature samples is unbounded, validation loss explodes
+# while validation accuracy climbs, and the reference config's val-LOSS
+# checkpoint selection (save_metric: "loss",
+# kinetics_sounds_baseline.yaml) restores a near-chance early epoch
+# (flips 0.10/0.15 at SNR 0.5/0.35 and 1.0/0.7 both collapsed to test
+# AV 0.05-0.13; flips 0.35/0.50 were outright unlearnable at 18 clean
+# train samples/class).
+FLIP_AUDIO, FLIP_VIDEO = 0.0, 0.0
 
 
 def main() -> None:

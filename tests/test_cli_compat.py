@@ -39,19 +39,51 @@ def _run_cli(module, config, run_id="99", extra=(), env_extra=None, cwd=REPO,
     return r
 
 
+def _run_cli_inproc(module, config, run_id="99", extra=(), env_extra=None,
+                    cwd=None):
+    """Drive a CLI main() in this process instead of a subprocess: shares
+    the warm interpreter, JAX runtime, and compile LRU with the rest of
+    the suite (a subprocess pays ~10 s startup per invocation on this
+    1-core host). Restores cwd/env/warnings filters afterwards — the
+    numpy-warning tripwire the drivers install must not leak. Use for
+    --dry-run surface tests; full training runs keep subprocess isolation.
+    Returns the exit code; assert stdout via the capfd fixture (rich
+    resolves sys.stdout at write time, so fd-level capture sees it)."""
+    import importlib
+    import warnings
+
+    mod = importlib.import_module(module)
+    old_cwd = os.getcwd()
+    old_env = dict(os.environ)
+    old_filters = warnings.filters[:]
+    try:
+        if cwd is not None:
+            os.chdir(cwd)
+        if env_extra:
+            os.environ.update(env_extra)
+        code = mod.main(["--config", str(config), "--run_id", run_id,
+                         "--cpu", *extra])
+    except SystemExit as e:  # argparse error paths
+        code = int(e.code or 0)
+    finally:
+        os.chdir(old_cwd)
+        os.environ.clear()
+        os.environ.update(old_env)
+        warnings.filters[:] = old_filters
+    return code
+
+
 @pytest.mark.skipif(
     not REF_MONO.exists() or not (REPO / "DATA/avmnist/train_subset.csv").exists(),
     reason="reference configs or AVMNIST index not available",
 )
-def test_reference_mono_config_dry_run():
-    env = {**os.environ, "EXP_PATH": str(REPO)}
-    r = subprocess.run(
-        [sys.executable, "-m", "mmtpu.cli.train_monomodal",
-         "--config", str(REF_MONO), "--run_id", "99", "--cpu", "--dry-run"],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=560,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
-    assert "dry run complete" in r.stdout
+def test_reference_mono_config_dry_run(capfd):
+    code = _run_cli_inproc("mmtpu.cli.train_monomodal", REF_MONO,
+                           extra=["--dry-run"],
+                           env_extra={"EXP_PATH": str(REPO)}, cwd=REPO)
+    out = capfd.readouterr().out
+    assert code == 0
+    assert "dry run complete" in out
 
 
 @pytest.fixture(scope="module")
@@ -92,18 +124,20 @@ def _encoder_artifacts():
 @pytest.mark.parametrize(
     "module", ["mmtpu.cli.train_multimodal", "mmtpu.cli.train_avmnist"]
 )
-def test_north_star_dry_run(module, _encoder_artifacts):
+def test_north_star_dry_run(module, _encoder_artifacts, capfd):
     """The north-star multimodal config drives both generic and
     AVMNIST-specialized entry points, including pretrained-encoder loading
     from the round-1 monomodal artifacts (synthesized if absent)."""
-    r = _run_cli(module, REF_NORTH_STAR, run_id="1", extra=["--dry-run"],
-                 env_extra={"EXP_PATH": str(REPO)})
-    assert r.returncode == 0, r.stderr[-2000:]
-    assert "dry run complete" in r.stdout
+    code = _run_cli_inproc(module, REF_NORTH_STAR, run_id="1",
+                           extra=["--dry-run"],
+                           env_extra={"EXP_PATH": str(REPO)}, cwd=REPO)
+    out = capfd.readouterr().out
+    assert code == 0
+    assert "dry run complete" in out
 
 
 @pytest.mark.skipif(not REF_CMAM.exists(), reason="reference configs absent")
-def test_reference_cmam_dry_run(tmp_path):
+def test_reference_cmam_dry_run(tmp_path, capfd):
     """train_cmam builds base model + CMAM from a reference CMAM YAML.
     Synthesizes MM-IMDb HDF5 data and the base-model checkpoint the config
     points at (experiments_output/.../best.pth, msgpack pytree)."""
@@ -143,14 +177,17 @@ def test_reference_cmam_dry_run(tmp_path):
         )
     )
 
-    r = _run_cli("mmtpu.cli.train_cmam", REF_CMAM, extra=["--dry-run"],
-                 env_extra={"EXP_PATH": str(tmp_path)}, cwd=tmp_path)
-    assert r.returncode == 0, (r.stderr[-2000:], r.stdout[-500:])
-    assert "dry run complete" in r.stdout
+    code = _run_cli_inproc("mmtpu.cli.train_cmam", REF_CMAM,
+                           extra=["--dry-run"],
+                           env_extra={"EXP_PATH": str(tmp_path)},
+                           cwd=tmp_path)
+    out = capfd.readouterr().out
+    assert code == 0, out[-500:]
+    assert "dry run complete" in out
 
 
 @pytest.mark.skipif(not REF_SELF_MM.exists(), reason="reference configs absent")
-def test_self_mm_reference_config_dry_run(tmp_path):
+def test_self_mm_reference_config_dry_run(tmp_path, capfd):
     """Self-MM reference config drives the self-mm runner (BERT falls back
     to random init in this zero-egress environment)."""
     rng = np.random.default_rng(0)
@@ -171,11 +208,13 @@ def test_self_mm_reference_config_dry_run(tmp_path):
     with open(mosi / "aligned_50.pkl", "wb") as f:
         pickle.dump({"train": split(16), "valid": split(8), "test": split(8)}, f)
 
-    r = _run_cli("mmtpu.cli.train_multimodal", REF_SELF_MM,
-                 extra=["--dry-run"], env_extra={"EXP_PATH": str(tmp_path)},
-                 cwd=tmp_path)
-    assert r.returncode == 0, (r.stderr[-2000:], r.stdout[-500:])
-    assert "dry run complete" in r.stdout
+    code = _run_cli_inproc("mmtpu.cli.train_multimodal", REF_SELF_MM,
+                           extra=["--dry-run"],
+                           env_extra={"EXP_PATH": str(tmp_path)},
+                           cwd=tmp_path)
+    out = capfd.readouterr().out
+    assert code == 0, out[-500:]
+    assert "dry run complete" in out
 
 
 def test_cross_validation_end_to_end(tmp_path):
@@ -205,21 +244,23 @@ def test_cross_validation_end_to_end(tmp_path):
     "config", ["configs/mosi/synthetic_mmin.yaml",
                "configs/mosi/synthetic_utt_fusion.yaml"]
 )
-def test_msa_runner_dry_run(config):
+def test_msa_runner_dry_run(config, capfd):
     """MMIN routes through msa_runners; UttFusion through the generic
     driver — both from the multimodal CLI."""
-    r = _run_cli("mmtpu.cli.train_multimodal", REPO / config,
-                 extra=["--dry-run"])
-    assert r.returncode == 0, r.stderr[-2000:]
-    assert "dry run complete" in r.stdout
+    code = _run_cli_inproc("mmtpu.cli.train_multimodal", REPO / config,
+                           extra=["--dry-run"], cwd=REPO)
+    out = capfd.readouterr().out
+    assert code == 0, out[-500:]
+    assert "dry run complete" in out
 
 
-def test_dual_cmam_cli_dry_run():
-    r = _run_cli("mmtpu.cli.train_cmam",
-                 REPO / "configs/mosi/synthetic_dual_cmam.yaml",
-                 extra=["--dry-run"])
-    assert r.returncode == 0, r.stderr[-2000:]
-    assert "dry run complete" in r.stdout
+def test_dual_cmam_cli_dry_run(capfd):
+    code = _run_cli_inproc("mmtpu.cli.train_cmam",
+                           REPO / "configs/mosi/synthetic_dual_cmam.yaml",
+                           extra=["--dry-run"], cwd=REPO)
+    out = capfd.readouterr().out
+    assert code == 0, out[-500:]
+    assert "dry run complete" in out
 
 
 def test_dryrun_multichip_in_process():
