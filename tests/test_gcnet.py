@@ -162,13 +162,18 @@ def make_inputs(B=2, T=6, adim=3, tdim=4, vdim=2):
 
 
 def test_graph_model_forward_and_grads():
+    # jit everything (incl. init): op-by-op dispatch of the scan-heavy
+    # GraphModel took ~3 min of this suite's wall; jitted programs land in
+    # the persistent compilation cache and replay in milliseconds.
     feats, qmask, umask, lengths = make_inputs()
     model = GraphModel(
         base_model="LSTM", adim=3, tdim=4, vdim=2, D_e=5,
         graph_hidden_size=4, n_speakers=2, window_past=2, window_future=2,
         n_classes=4, dropout=0.0, time_attn=True)
-    v = model.init(jax.random.PRNGKey(0), feats, qmask, umask, lengths)
-    logits, rec, hidden = model.apply(v, feats, qmask, umask, lengths)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), feats, qmask, umask,
+                            lengths)
+    logits, rec, hidden = jax.jit(model.apply)(v, feats, qmask, umask,
+                                               lengths)
     B, T = feats.shape[:2]
     assert logits.shape == (B, T, 4)
     assert rec.shape == feats.shape
@@ -183,7 +188,7 @@ def test_graph_model_forward_and_grads():
         return (masked_ce_loss(lg, labels, umask)
                 + masked_recon_loss(rc, feats, present, umask, 3, 4, 2))
 
-    loss, grads = jax.value_and_grad(loss_fn)(v["params"])
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(v["params"])
     assert np.isfinite(float(loss))
     flat = jax.tree_util.tree_leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
@@ -198,8 +203,10 @@ def test_graph_model_gru_variant_and_registry():
         "gcnet", base_model="GRU", adim=3, tdim=4, vdim=2, D_e=5,
         graph_hidden_size=4, n_speakers=1, window_past=-1, window_future=-1,
         n_classes=4, dropout=0.0, time_attn=False)
-    v = model.init(jax.random.PRNGKey(0), feats, qmask, umask, lengths)
-    logits, rec, hidden = model.apply(v, feats, qmask, umask, lengths)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), feats, qmask, umask,
+                            lengths)
+    logits, rec, hidden = jax.jit(model.apply)(v, feats, qmask, umask,
+                                               lengths)
     assert logits.shape == (2, 6, 4)
 
 
