@@ -8,8 +8,12 @@ Reference: data/avmnist.py:21-277. Sample pipeline reproduced exactly:
 - patterns over {audio, image} ("ai"/"a"/"i"), 10 classes.
 
 TPU-native inversion: instead of per-__getitem__ torch.load + PIL, the whole
-split is decoded once into contiguous float32 arrays and cached as .npz next
-to the CSV — the hot loop slices numpy, never touches Python file IO.
+split is decoded once into contiguous float32 arrays and cached as raw .npy
+sidecars next to the CSV, then memory-mapped — the hot loop slices numpy
+(pages fault in on demand, like the reference's lazy per-sample torch.load
+at data/avmnist.py:164,218-221 but without Python file IO per sample), and
+building the dataset object costs no bulk read at all (config validation,
+--dry-run, and CLI startup stay O(index)).
 """
 
 from __future__ import annotations
@@ -84,19 +88,54 @@ class AVMNIST(MultimodalArrayDataset):
             f"patterns {self.selected_patterns}"
         )
 
+    def _digest(self) -> str:
+        if not hasattr(self, "_digest_cache"):
+            self._digest_cache = hashlib.sha1(
+                self.data_fp.read_bytes()
+            ).hexdigest()[:12]
+        return self._digest_cache
+
     def _cache_path(self) -> Path:
-        digest = hashlib.sha1(self.data_fp.read_bytes()).hexdigest()[:12]
-        return self.data_fp.with_suffix(f".{digest}.npz")
+        """Legacy whole-split .npz cache (pre-round-3); read-only fallback,
+        converted to mmap-able .npy sidecars on first touch."""
+        return self.data_fp.with_suffix(f".{self._digest()}.npz")
+
+    def _npy_path(self, name: str) -> Path:
+        return self.data_fp.with_suffix(f".{self._digest()}.{name}.npy")
+
+    def _mmap_cached(self) -> bool:
+        paths = {n: self._npy_path(n) for n in ("audio", "image", "labels")}
+        if not all(p.exists() for p in paths.values()):
+            return False
+        self.arrays = {
+            Modality.AUDIO: np.load(paths["audio"], mmap_mode="r"),
+            Modality.IMAGE: np.load(paths["image"], mmap_mode="r"),
+        }
+        self.labels = np.load(paths["labels"])  # tiny; load eagerly
+        return True
+
+    def _write_npy_cache(self, audio, image, labels) -> bool:
+        try:
+            for name, arr in (("audio", audio), ("image", image),
+                              ("labels", labels)):
+                np.save(self._npy_path(name), arr)
+            logger.info(f"AVMNIST cache written: {self._npy_path('audio')}")
+            return True
+        except OSError as e:  # read-only data dir — just skip the cache
+            logger.warning(f"could not write AVMNIST cache: {e}")
+            return False
 
     def _load(self, audio_col: str, image_col: str, labels_col: str) -> None:
-        cache = self._cache_path()
-        if cache.exists():
-            z = np.load(cache)
-            self.arrays = {
-                Modality.AUDIO: z["audio"],
-                Modality.IMAGE: z["image"],
-            }
-            self.labels = z["labels"]
+        if self._mmap_cached():
+            return
+        legacy = self._cache_path()
+        if legacy.exists():
+            z = np.load(legacy)
+            audio, image, labels = z["audio"], z["image"], z["labels"]
+            if self._write_npy_cache(audio, image, labels) and self._mmap_cached():
+                return
+            self.arrays = {Modality.AUDIO: audio, Modality.IMAGE: image}
+            self.labels = labels
             return
 
         import pandas as pd
@@ -121,14 +160,11 @@ class AVMNIST(MultimodalArrayDataset):
                 np.uint8,
             )
             image[i, :, :, 0] = lut[img].astype(np.float32) / 255.0
+        labels = df[labels_col].to_numpy(np.int64)
+        if self._write_npy_cache(audio, image, labels) and self._mmap_cached():
+            return
         self.arrays = {Modality.AUDIO: audio, Modality.IMAGE: image}
-        self.labels = df[labels_col].to_numpy(np.int64)
-
-        try:
-            np.savez(cache, audio=audio, image=image, labels=self.labels)
-            logger.info(f"AVMNIST cache written: {cache}")
-        except OSError as e:  # read-only data dir — just skip the cache
-            logger.warning(f"could not write AVMNIST cache: {e}")
+        self.labels = labels
 
 
 class SyntheticAVMNIST(MultimodalArrayDataset):

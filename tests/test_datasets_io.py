@@ -117,5 +117,40 @@ def test_avmnist_csv_with_pt_files(tmp_path):
     # image pipeline: gist_earth LUT + PIL luma, values in [0, 1]
     img = ds.arrays[Modality.IMAGE]
     assert 0.0 <= img.min() and img.max() <= 1.0
-    # cache file written next to the CSV
-    assert list(tmp_path.glob("train.*.npz"))
+    # mmap-able cache sidecars written next to the CSV
+    assert list(tmp_path.glob("train.*.audio.npy"))
+    assert list(tmp_path.glob("train.*.image.npy"))
+    assert list(tmp_path.glob("train.*.labels.npy"))
+
+
+def test_avmnist_legacy_npz_converts_to_mmap_sidecars(tmp_path):
+    """A pre-round-3 whole-split .npz cache is converted to .npy sidecars
+    on first touch and served memory-mapped thereafter."""
+    import csv
+
+    from mmtpu.data.avmnist import AVMNIST
+
+    rng = np.random.default_rng(3)
+    index = tmp_path / "train.csv"
+    with open(index, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["audio", "image", "label"])
+        w.writerows([("absent.pt", "absent.pt", i % 10) for i in range(5)])
+    audio = rng.normal(size=(5, 32, 94)).astype(np.float32)
+    image = rng.random((5, 28, 28, 1)).astype(np.float32)
+    labels = np.arange(5, dtype=np.int64) % 10
+    import hashlib
+
+    digest = hashlib.sha1(index.read_bytes()).hexdigest()[:12]
+    np.savez(tmp_path / f"train.{digest}.npz",
+             audio=audio, image=image, labels=labels)
+
+    ds = AVMNIST(index, "train")
+    assert isinstance(ds.arrays[Modality.AUDIO], np.memmap)
+    np.testing.assert_array_equal(np.asarray(ds.arrays[Modality.AUDIO]), audio)
+    np.testing.assert_array_equal(ds.labels, labels)
+    assert (tmp_path / f"train.{digest}.audio.npy").exists()
+
+    # second construction goes straight to the sidecars
+    ds2 = AVMNIST(index, "train")
+    assert isinstance(ds2.arrays[Modality.IMAGE], np.memmap)
