@@ -33,8 +33,12 @@ def test_leaf_stats_match_numpy():
     assert s["kurtosis"] == pytest.approx((z**4).mean() - 3.0, abs=1e-2)
 
 
-@pytest.fixture()
-def monitored_run(tmp_path):
+@pytest.fixture(scope="module")
+def monitored_run(tmp_path_factory):
+    # module-scoped: six analyser tests read this HDF5 read-only; re-running
+    # the monitored 2-epoch train per test multiplied the suite's slowest
+    # compile (grad-stats step) by 6
+    tmp_path = tmp_path_factory.mktemp("monitored_run")
     model = build_module(
         "monomodal_encoder",
         encoder=build_module("fcencoder", input_dim=8, layers=[16, 8],
