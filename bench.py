@@ -3,8 +3,9 @@
 Prints ONE JSON line with the headline metric plus companion fields:
   value                    best-window samples/sec/chip
   value_median             median across windows (steady-state view)
-  value_canary_normalized  median of rate_w * quiet/canary_w — the
-                           contention-corrected quiet-chip estimate
+  value_canary_normalized  quiet-chip extrapolation of the rate~canary
+                           proportional-share fit — the contention-
+                           corrected quiet-chip estimate
   mfu / mfu_canary_normalized
   canary_tflops            median canary across windows
   mosi_uttfusion_step_ms   second tracked workload (BASELINE.md: MOSI step
@@ -32,12 +33,15 @@ on the same 8192^2 bf16 matmul at different times of day), so:
 (a) every window's completion barrier is a data-dependent host fetch
     followed by jax.block_until_ready over the whole state (never a bare
     scalar fetch — all device streams drain before perf_counter),
-(b) timing windows are SPREAD over ~2 minutes with a canary measurement
-    per window: canary_w = achieved TFLOP/s of a large bf16 matmul at that
-    moment, quiet chip ~170-190,
-(c) value_canary_normalized = median over windows of
-    rate_w * QUIET_CANARY / canary_w — a driver-verifiable quiet-chip
-    estimate that does not depend on catching the chip idle.
+(b) timing windows are SPREAD over ~2 minutes and each window is BRACKETED
+    by canary measurements (mean of before/after): canary_w = achieved
+    TFLOP/s of a large bf16 matmul at that moment, quiet chip ~170-190,
+(c) value_canary_normalized fits the proportional-share model
+    rate ≈ k * canary by least squares through the origin over all
+    windows and reports k * QUIET_CANARY — a driver-verifiable quiet-chip
+    estimate that does not depend on catching the chip idle, pools every
+    window (instead of trusting any single noisy ratio), and converges to
+    the raw measured rate as the chip approaches quiet.
 """
 
 import json
@@ -97,7 +101,9 @@ def build(B):
         ),
         input_keys=("audio", "image"),
     )
-    step = make_train_step(task, donate=False)
+    # donate=True matches the production loop (mmtpu/train/loop.py:117):
+    # state buffers update in place, as a real run would
+    step = make_train_step(task)
     return state, step, {"audio": a, "image": i, "labels": labels}, rng
 
 
@@ -151,26 +157,54 @@ def build_mosi(B=32, T=50):
         ),
         input_keys=("audio", "video", "text"),
     )
-    step = make_train_step(task, donate=False)
+    step = make_train_step(task)
     return state, step, {"audio": a, "video": v, "text": t, "labels": labels}, rng
+
+
+_CANARY_STATE = {}
 
 
 def canary_tflops(reps=2, n=8192):
     """Achieved TFLOP/s of one large bf16 matmul right now — a chip-load
     canary. The tunnel chip is multi-tenant; this contextualizes the main
-    number (quiet chip: ~170-190; contended: 30-60)."""
+    number (quiet chip: ~170-190; contended: 30-60). The device buffer and
+    compiled program are cached — bracketing every timing window with
+    canaries must not pay a 128 MB host->device transfer per reading."""
     import jax
     import jax.numpy as jnp
 
-    a = jnp.ones((n, n), jnp.bfloat16)
-    f = jax.jit(lambda a: a @ a)
-    float(jnp.sum(f(a).astype(jnp.float32)))  # compile + settle
+    if n not in _CANARY_STATE:
+        a = jax.device_put(jnp.ones((n, n), jnp.bfloat16))
+        f = jax.jit(lambda a: jnp.sum((a @ a).astype(jnp.float32)))
+        float(f(a))  # compile + settle
+        _CANARY_STATE[n] = (a, f)
+    a, f = _CANARY_STATE[n]
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(jnp.sum(f(a).astype(jnp.float32)))
+        float(f(a))
         best = min(best, time.perf_counter() - t0)
     return 2 * n**3 / best / 1e12
+
+
+def quiet_rate_fit(rates, canaries, flops, B):
+    """Quiet-chip rate from (rate, canary) window pairs.
+
+    Proportional-share model: under time-sliced contention both the train
+    step and the canary get the same chip fraction, so rate ≈ k * canary.
+    Least-squares slope through the origin pools all windows (weighting
+    the least-contended, least-noisy ones most) and extrapolates to the
+    quiet canary. Linear scaling is still an UPPER bound (the pure-MXU
+    canary degrades more under contention than the mixed train step), so
+    cap at the program's peak-FLOPs throughput (MFU 1.0)."""
+    k_slope = sum(r * c for r, c in zip(rates, canaries)) / sum(
+        c * c for c in canaries
+    )
+    normalized = k_slope * QUIET_CANARY_TFLOPS
+    if flops:
+        rate_at_peak = V5E_PEAK_FLOPS * B / flops
+        normalized = min(normalized, rate_at_peak)
+    return normalized
 
 
 def measure(builder, B, precision, windows=8, steps=60, warmup=10,
@@ -210,27 +244,25 @@ def measure(builder, B, precision, windows=8, steps=60, warmup=10,
     barrier(state)
 
     dts, canaries = [], []
+    c_prev = canary_tflops(reps=1)
     for w in range(windows):
-        canaries.append(canary_tflops(reps=1))
         t0 = time.perf_counter()
         for k in range(steps):
             state, out = step(state, batch, jax.random.fold_in(rng, w * steps + k))
         barrier(state)
         dts.append(time.perf_counter() - t0)
+        c_next = canary_tflops(reps=1)
+        # bracket the window: contention during the window is estimated by
+        # the mean of the canaries immediately before and after it
+        canaries.append(0.5 * (c_prev + c_next))
+        c_prev = c_next
         if spread_s and w < windows - 1:
             time.sleep(spread_s)
+            c_prev = canary_tflops(reps=1)
 
     n_chips = jax.device_count()
     rates = [steps * B / dt / n_chips for dt in dts]
-    # Linear canary scaling is an UPPER bound on the quiet-chip rate: the
-    # canary is pure MXU work and degrades more under contention than the
-    # train step's mixed compute/memory profile. Cap the estimate at the
-    # program's peak-FLOPs throughput (MFU 1.0) so it is never implausible.
-    norm = [r * QUIET_CANARY_TFLOPS / c for r, c in zip(rates, canaries)]
-    normalized = statistics.median(norm)
-    if flops:
-        rate_at_peak = V5E_PEAK_FLOPS * B / flops
-        normalized = min(normalized, rate_at_peak)
+    normalized = quiet_rate_fit(rates, canaries, flops, B)
     best = max(rates)
     mfu = (flops * best * n_chips / B / V5E_PEAK_FLOPS) if flops else None
     mfu_norm = (

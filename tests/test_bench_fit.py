@@ -1,0 +1,52 @@
+"""bench.py's contention normalization (quiet_rate_fit): the
+proportional-share slope fit must recover the quiet-chip rate from
+contended windows, converge to the raw rate on a quiet chip, and respect
+the MFU-1.0 cap. Pure host-side math — no devices involved."""
+
+import pytest
+
+import bench
+
+
+def test_quiet_chip_is_identity():
+    # chip already quiet: every canary at the quiet value -> fit returns
+    # the measured rate itself (no extrapolation)
+    rates = [100_000.0] * 4
+    canaries = [bench.QUIET_CANARY_TFLOPS] * 4
+    out = bench.quiet_rate_fit(rates, canaries, flops=None, B=1024)
+    assert out == pytest.approx(100_000.0, rel=1e-12)
+
+
+def test_contended_windows_extrapolate_proportionally():
+    # exact proportional sharing at varying contention levels: the slope
+    # fit recovers the underlying quiet rate from ANY mix of windows
+    quiet = 250_000.0
+    fracs = [0.2, 0.35, 0.5, 0.9]
+    canaries = [bench.QUIET_CANARY_TFLOPS * f for f in fracs]
+    rates = [quiet * f for f in fracs]
+    out = bench.quiet_rate_fit(rates, canaries, flops=None, B=1024)
+    assert out == pytest.approx(quiet, rel=1e-9)
+
+
+def test_noisy_windows_weight_least_contended():
+    # one wildly optimistic low-canary window must not dominate: the
+    # c^2-weighted slope keeps the estimate near the high-canary windows'
+    # implied quiet rate
+    canaries = [10.0, 150.0, 160.0, 170.0]
+    rates = [50_000.0, 200_000.0 * 150 / 185, 200_000.0 * 160 / 185,
+             200_000.0 * 170 / 185]
+    out = bench.quiet_rate_fit(rates, canaries, flops=None, B=1024)
+    # unweighted per-window ratios would average in the 925k implied by
+    # window 0; the slope fit stays close to 200k
+    assert out == pytest.approx(200_000.0, rel=0.05)
+
+
+def test_mfu_cap_applies():
+    # extrapolation can never exceed the program's MFU-1.0 throughput
+    flops = 1e9  # per-batch FLOPs
+    B = 1024
+    cap = bench.V5E_PEAK_FLOPS * B / flops
+    rates = [cap * 0.5]
+    canaries = [bench.QUIET_CANARY_TFLOPS * 0.1]  # implies 5x cap
+    out = bench.quiet_rate_fit(rates, canaries, flops=flops, B=B)
+    assert out == pytest.approx(cap)
