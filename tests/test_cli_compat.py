@@ -28,49 +28,7 @@ REPO = Path(__file__).resolve().parent.parent
 _HAVE_AVMNIST = (REPO / "DATA/avmnist/train_subset.csv").exists()
 
 
-def _run_cli(module, config, run_id="99", extra=(), env_extra=None, cwd=REPO,
-             timeout=560):
-    env = {**os.environ, "PYTHONPATH": str(REPO), **(env_extra or {})}
-    r = subprocess.run(
-        [sys.executable, "-m", module, "--config", str(config),
-         "--run_id", run_id, "--cpu", *extra],
-        capture_output=True, text=True, env=env, cwd=cwd, timeout=timeout,
-    )
-    return r
-
-
-def _run_cli_inproc(module, config, run_id="99", extra=(), env_extra=None,
-                    cwd=None):
-    """Drive a CLI main() in this process instead of a subprocess: shares
-    the warm interpreter, JAX runtime, and compile LRU with the rest of
-    the suite (a subprocess pays ~10 s startup per invocation on this
-    1-core host). Restores cwd/env/warnings filters afterwards — the
-    numpy-warning tripwire the drivers install must not leak. Use for
-    --dry-run surface tests; full training runs keep subprocess isolation.
-    Returns the exit code; assert stdout via the capfd fixture (rich
-    resolves sys.stdout at write time, so fd-level capture sees it)."""
-    import importlib
-    import warnings
-
-    mod = importlib.import_module(module)
-    old_cwd = os.getcwd()
-    old_env = dict(os.environ)
-    old_filters = warnings.filters[:]
-    try:
-        if cwd is not None:
-            os.chdir(cwd)
-        if env_extra:
-            os.environ.update(env_extra)
-        code = mod.main(["--config", str(config), "--run_id", run_id,
-                         "--cpu", *extra])
-    except SystemExit as e:  # argparse error paths
-        code = int(e.code or 0)
-    finally:
-        os.chdir(old_cwd)
-        os.environ.clear()
-        os.environ.update(old_env)
-        warnings.filters[:] = old_filters
-    return code
+from _cli_harness import run_cli_inproc as _run_cli_inproc  # noqa: E402
 
 
 @pytest.mark.skipif(
@@ -223,10 +181,10 @@ def test_cross_validation_end_to_end(tmp_path):
     import shutil
 
     cfg_src = REPO / "configs/avmnist/synthetic_cv.yaml"
-    r = _run_cli("mmtpu.cli.train_multimodal", cfg_src, run_id="77",
-                 cwd=tmp_path, timeout=560,
-                 env_extra={"EXP_PATH": str(tmp_path)})
-    assert r.returncode == 0, r.stderr[-2000:]
+    code = _run_cli_inproc("mmtpu.cli.train_multimodal", cfg_src,
+                           run_id="77", cwd=tmp_path,
+                           env_extra={"EXP_PATH": str(tmp_path)})
+    assert code == 0
     base = tmp_path / "experiments_output/Synthetic_CV/metrics/77"
     assert (base / "fold_1/epoch_metrics.json").exists()
     assert (base / "fold_2/epoch_metrics.json").exists()

@@ -7,13 +7,12 @@ batches are sharded by the prefetcher, and XLA inserts the gradient psum.
 """
 
 import json
-import os
-import subprocess
-import sys
 from pathlib import Path
 
 import numpy as np
 import pytest
+
+from _cli_harness import run_cli_inproc
 
 REPO = Path(__file__).resolve().parent.parent
 CFG = REPO / "configs/avmnist/synthetic_dp.yaml"
@@ -24,19 +23,10 @@ pytestmark = pytest.mark.skipif(
 
 
 def _run(tmp_path, run_id, extra=()):
-    env = {
-        **os.environ,
-        "PYTHONPATH": str(REPO),
-        "EXP_PATH": str(tmp_path),
-        "XLA_FLAGS": (os.environ.get("XLA_FLAGS", "")
-                      + " --xla_force_host_platform_device_count=8").strip(),
-    }
-    r = subprocess.run(
-        [sys.executable, "-m", "mmtpu.cli.train_multimodal",
-         "--config", str(CFG), "--run_id", run_id, "--cpu", *extra],
-        capture_output=True, text=True, env=env, cwd=tmp_path, timeout=560,
-    )
-    assert r.returncode == 0, r.stderr[-2500:]
+    code = run_cli_inproc("mmtpu.cli.train_multimodal", CFG, run_id=run_id,
+                          extra=list(extra), cwd=tmp_path,
+                          env_extra={"EXP_PATH": str(tmp_path)})
+    assert code == 0
     metrics = (tmp_path / "experiments_output/Synthetic_DP/metrics" / run_id
                / "epoch_metrics.json")
     return json.loads(metrics.read_text())
@@ -67,40 +57,18 @@ def test_self_mm_runs_data_parallel(tmp_path):
     """Self-MM's custom loop (sharded prefetchers + per-sample manager
     scatter) completes a 2-epoch run over the 8-device mesh."""
     cfg = REPO / "configs/mosi/synthetic_self_mm.yaml"
-    env = {
-        **os.environ,
-        "PYTHONPATH": str(REPO),
-        "EXP_PATH": str(tmp_path),
-        "XLA_FLAGS": (os.environ.get("XLA_FLAGS", "")
-                      + " --xla_force_host_platform_device_count=8").strip(),
-    }
-    r = subprocess.run(
-        [sys.executable, "-m", "mmtpu.cli.train_multimodal",
-         "--config", str(cfg), "--run_id", "9", "--cpu",
-         "--data-parallel", "8"],
-        capture_output=True, text=True, env=env, cwd=tmp_path, timeout=560,
-    )
-    assert r.returncode == 0, r.stderr[-2500:]
+    code = run_cli_inproc("mmtpu.cli.train_multimodal", cfg, run_id="9",
+                          extra=["--data-parallel", "8"], cwd=tmp_path,
+                          env_extra={"EXP_PATH": str(tmp_path)})
+    assert code == 0
 
 
 @pytest.mark.parametrize("dp,needle", [("5", "not divisible"),
                                        ("-2", "use -1")])
 def test_dp_rejects_bad_values(tmp_path, dp, needle):
-    """batch_size 32 % dp 5 != 0, and dp < -1, both fail loudly."""
-    env = {
-        **os.environ,
-        "PYTHONPATH": str(REPO),
-        "EXP_PATH": str(tmp_path),
-        "XLA_FLAGS": (os.environ.get("XLA_FLAGS", "")
-                      + " --xla_force_host_platform_device_count=8").strip(),
-    }
-    r = subprocess.run(
-        [sys.executable, "-m", "mmtpu.cli.train_multimodal",
-         "--config", str(CFG), "--run_id", "4", "--cpu",
-         "--data-parallel", dp],
-        capture_output=True, text=True, env=env, cwd=tmp_path, timeout=560,
-    )
-    assert r.returncode != 0
-    assert needle in (r.stderr + r.stdout)
-
-
+    """batch_size 32 % dp 5 != 0, and dp < -1, both fail loudly
+    (cli/common.py raises ValueError before any training starts)."""
+    with pytest.raises(ValueError, match=needle):
+        run_cli_inproc("mmtpu.cli.train_multimodal", CFG, run_id="4",
+                       extra=["--data-parallel", dp], cwd=tmp_path,
+                       env_extra={"EXP_PATH": str(tmp_path)})

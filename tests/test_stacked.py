@@ -149,24 +149,19 @@ def test_stacked_cv_cli_matches_sequential(tmp_path):
     """--stacked-folds must reproduce sequential CV: same per-fold epoch
     losses (early stopping off, same seeds) and the same aggregate files."""
     import json
-    import os
-    import subprocess
-    import sys
     from pathlib import Path
+
+    from _cli_harness import run_cli_inproc
 
     REPO = Path(__file__).resolve().parent.parent
     cfg = REPO / "configs/avmnist/synthetic_cv.yaml"
-    env = {**os.environ, "PYTHONPATH": str(REPO), "JAX_PLATFORMS": "cpu"}
 
     def run(workdir, extra=()):
         workdir.mkdir(exist_ok=True)
-        e = {**env, "EXP_PATH": str(workdir)}
-        r = subprocess.run(
-            [sys.executable, "-m", "mmtpu.cli.train_multimodal",
-             "--config", str(cfg), "--run_id", "1", "--cpu", *extra],
-            capture_output=True, text=True, env=e, cwd=workdir, timeout=560,
-        )
-        assert r.returncode == 0, r.stderr[-2500:]
+        code = run_cli_inproc("mmtpu.cli.train_multimodal", cfg, run_id="1",
+                              extra=list(extra), cwd=workdir,
+                              env_extra={"EXP_PATH": str(workdir)})
+        assert code == 0
         base = next(workdir.glob("experiments_output/*/metrics/1"))
         return base
 
