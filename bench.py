@@ -264,9 +264,12 @@ def measure(builder, B, precision, windows=8, steps=60, warmup=10,
     rates = [steps * B / dt / n_chips for dt in dts]
     normalized = quiet_rate_fit(rates, canaries, flops, B)
     best = max(rates)
-    mfu = (flops * best * n_chips / B / V5E_PEAK_FLOPS) if flops else None
+    # per-chip MFU: rates are samples/sec/chip and flops is the program's
+    # per-batch total, so per-chip FLOP/s = rate * flops / B (no n_chips
+    # factor — multiplying by it double-counted chips on multi-device hosts)
+    mfu = (flops * best / B / V5E_PEAK_FLOPS) if flops else None
     mfu_norm = (
-        flops * normalized * n_chips / B / V5E_PEAK_FLOPS
+        flops * normalized / B / V5E_PEAK_FLOPS
         if flops else None
     )
     return {

@@ -58,8 +58,12 @@ def standard_arg_parser(description: str) -> argparse.ArgumentParser:
         "--eval-batch-factor", "--eval_batch_factor",
         dest="eval_batch_factor", type=int, default=1, metavar="N",
         help="Device-resident eval only: fuse the patterns x samples eval "
-             "product into N-x larger batches (identical predictions/"
-             "metrics; more MXU work per dispatch at small batch sizes)",
+             "product into N-x larger batches. Per-sample predictions and "
+             "pattern metrics are identical; the epoch loss (mean of "
+             "per-step means) can shift slightly when padded tail steps "
+             "regroup, which can move best-epoch selection under "
+             "save_metric=loss. More MXU work per dispatch at small "
+             "batch sizes.",
     )
     p.add_argument(
         "--stacked-folds", "--stacked_folds", dest="stacked_folds",

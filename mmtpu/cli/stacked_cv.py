@@ -31,7 +31,7 @@ import numpy as np
 
 from mmtpu.cli import common
 from mmtpu.train.early_stopping import EarlyStopping
-from mmtpu.train.loop import _jsonable, _nest_epoch_metrics
+from mmtpu.train.loop import _jsonable, _nest_epoch_metrics, resolve_save_target
 from mmtpu.train.stacked import (
     StackedLoaderGroup,
     make_stacked_eval_step,
@@ -81,14 +81,19 @@ def run(cfg, args, json_nesting: str = "reference") -> int:
     # -- per-fold assembly (same construction path as run_single) ----------
     states, fold_ctx = [], []
     shared_tx = None
+    do_train = cfg.experiment.is_train and not getattr(args, "skip_train",
+                                                       False)
     for fold in range(1, folds + 1):
         cfg.logging.metrics_path = str(base_metrics_path / f"fold_{fold}")
         cfg.logging.model_output_path = str(base_model_path / f"fold_{fold}")
         cfg.logging.create_directories()
+        from mmtpu.utils.utils import clean_checkpoints
+
+        clean_checkpoints(cfg.logging.model_output_path)
         for ds_cfg in cfg.data.datasets.values():
             ds_cfg.kwargs["cv_no"] = fold
         loaders = cfg.data.build_all_loaders(
-            is_train=True,
+            is_train=do_train,
             is_test=cfg.experiment.is_test and not args.skip_test,
             seed=cfg.experiment.seed,
         )
@@ -141,10 +146,14 @@ def run(cfg, args, json_nesting: str = "reference") -> int:
     stacked = stack_states(states)
     train_step = make_stacked_train_step(task, donate=False)
     eval_step = make_stacked_eval_step(task)
-    # Mirror TrainLoop's per-fold dropout stream exactly (loop.py: rng
-    # starts at PRNGKey(0) per loop; the scan path splits an epoch key then
+    # Mirror TrainLoop's SCAN-path dropout stream (loop.py: rng starts at
+    # PRNGKey(0) per loop; the scan path splits an epoch key then
     # chain-splits per step) so stacked == sequential bit-for-bit even with
     # dropout on. Every fold's sequential loop starts from the same key.
+    # Scope: the streaming path derives step keys differently (chain-split
+    # of the loop rng with no per-epoch key), so with dropout ON and a
+    # dataset too large for the device-resident scan budget, stacked and
+    # sequential use different (equally valid) dropout masks.
     fold_rngs = [jax.random.PRNGKey(0) for _ in range(folds)]
 
     def run_split(stacked, split: str, epoch: int, train: bool):
@@ -195,15 +204,17 @@ def run(cfg, args, json_nesting: str = "reference") -> int:
             metrics["loss"] = loss
             c["recorder"].reset()
             per_fold.append(metrics)
-            key = "validation" if split == "validation" else split
-            if key in c["timing"]:
-                c["timing"][key].append(elapsed)
+            if split in c["timing"]:
+                c["timing"][split].append(elapsed)
         return stacked, per_fold, elapsed
 
-    epochs = cfg.training.epochs
+    epochs = cfg.training.epochs if do_train else 0
     for epoch in range(1, epochs + 1):
         stacked, train_m, t_tr = run_split(stacked, "train", epoch, True)
         stacked, val_m, t_va = run_split(stacked, "validation", epoch, False)
+        # hoist: one unstack serves every improving fold this epoch (slicing
+        # the full K-state pytree inside the per-fold loop was O(K^2))
+        fold_states = None
         scales = []
         for f, c in enumerate(fold_ctx):
             c["history"]["train"].append(dict(train_m[f]))
@@ -229,11 +240,16 @@ def run(cfg, args, json_nesting: str = "reference") -> int:
             (c["metrics_path"] / "epoch_metrics.json").write_text(
                 json.dumps(_jsonable(c["epoch_metrics"]), indent=4)
             )
-            target = val_m[f].get(cfg.logging.save_metric,
-                                  val_m[f].get("loss"))
+            # same resolution AND same fail-loudly contract as the
+            # sequential loop — a silent fallback to val loss while
+            # EarlyStopping stays in the configured metric's mode would
+            # invert best-checkpoint selection for max-mode metrics
+            target = resolve_save_target(val_m[f], cfg.logging.save_metric)
             if c["early"].step(float(target)):
-                fold_state = unstack_states(stacked, folds)[f]
-                c["ckpt"].save_checkpoint(fold_state, epoch, float(target))
+                if fold_states is None:
+                    fold_states = unstack_states(stacked, folds)
+                c["ckpt"].save_checkpoint(fold_states[f], epoch,
+                                          float(target))
             if c["lr"] is not None:
                 metric = (val_m[f]["loss"]
                           if c["lr"].kind == "plateau" else None)
@@ -260,15 +276,16 @@ def run(cfg, args, json_nesting: str = "reference") -> int:
     )
     if test_split is not None:
         restored = []
+        final_states = unstack_states(stacked, folds)
         for f, c in enumerate(fold_ctx):
-            st = unstack_states(stacked, folds)[f]
+            st = final_states[f]
             try:
                 st = c["ckpt"].load_checkpoint(st, "best")
             except FileNotFoundError:
                 pass
             restored.append(st)
         stacked = stack_states(restored)
-        stacked, test_m, _ = run_split(stacked, test_split, 0, False)
+        stacked, test_m, t_te = run_split(stacked, test_split, 0, False)
         for f, c in enumerate(fold_ctx):
             fold_test.append(test_m[f])
             from mmtpu.reports.report import MetricsReport
@@ -276,6 +293,47 @@ def run(cfg, args, json_nesting: str = "reference") -> int:
             MetricsReport(c["metrics_path"]).generate(
                 {}, {test_split: test_m[f]}
             )
+            if test_split == "test" and json_nesting == "reference":
+                # sequential schema: a trailing {"test": ...} entry is
+                # appended to each fold's epoch_metrics.json
+                # (train/loop.py test(); reference train_multimodal.py
+                # :828-855 — no 'metrics' catch-all bucket)
+                n_te = max(len(c["loaders"][test_split]), 1)
+                nested = _nest_epoch_metrics(test_m[f], json_nesting)
+                nested.pop("metrics", None)
+                c["epoch_metrics"].append({
+                    "test": {
+                        "loss": test_m[f]["loss"],
+                        "timing": {"total_time": t_te,
+                                   "avg_batch_time": t_te / n_te},
+                        **nested,
+                    }
+                })
+                (c["metrics_path"] / "epoch_metrics.json").write_text(
+                    json.dumps(_jsonable(c["epoch_metrics"]), indent=4)
+                )
+
+    # per-fold report files, same as sequential run_single (the reference
+    # emits a report per fold too): {train,validation,test}_metrics.json,
+    # timing.csv, model summary
+    report_states = (
+        restored if test_split is not None else unstack_states(stacked, folds)
+    )
+    from mmtpu.reports import ExperimentReportGenerator
+
+    for f, c in enumerate(fold_ctx):
+        ExperimentReportGenerator(
+            c["metrics_path"] / "report",
+            cfg.experiment.name,
+            metrics_dir=c["metrics_path"],
+        ).generate_report(
+            metrics_history=c["history"],
+            timing_history=c["timing"],
+            params=report_states[f].params,
+            test_metrics=(
+                {test_split: fold_test[f]} if f < len(fold_test) else {}
+            ),
+        )
 
     for name, agg in (
         ("train", aggregate_cv_metrics(

@@ -190,11 +190,12 @@ def main(argv=None) -> int:
     if args.dry_run or cfg.experiment.dry_run:
         console.success("dry run complete")
         return 0
-    results = {}
     if not args.skip_train:
         loop.run()
     if not args.skip_test:
-        results = loop.test(
+        # return value unused: the report below reads the nested copies
+        # the loop keeps (test_metrics_nested)
+        loop.test(
             splits=[s for s in loaders if s not in ("train", "validation")]
         )
 
@@ -213,7 +214,6 @@ def main(argv=None) -> int:
         params=loop.state.params,
         test_metrics=loop.test_metrics_nested,
     )
-    del results
     return 0
 
 

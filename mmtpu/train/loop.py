@@ -395,36 +395,7 @@ class TrainLoop:
                     f"train loss {train_loss:.4f}, val loss {val_loss:.4f}"
                 )
 
-            target = val_metrics.get(self.save_metric)
-            if target is None:
-                # flattened keys are '{metric}[_{PATTERN}]' (no group prefix,
-                # reference flatten semantics) — match the metric name as an
-                # exact component so 'accuracy' never selects
-                # 'balanced_accuracy'; prefer the longest pattern suffix
-                # (the full-modality one).
-                import re as _re
-
-                rx = _re.compile(
-                    rf"^{_re.escape(self.save_metric)}(_[A-Z0-9]+)?$"
-                )
-                cands = [
-                    k for k in val_metrics
-                    if rx.match(k) and isinstance(val_metrics[k], (int, float))
-                ]
-                if cands:
-                    target = val_metrics[max(cands, key=len)]
-                else:
-                    # Fail loudly like the reference (train_multimodal.py:361
-                    # raises on a missing target metric) — silently flipping
-                    # to min-loss would train to a different criterion.
-                    available = sorted(
-                        k for k, v in val_metrics.items()
-                        if isinstance(v, (int, float))
-                    )
-                    raise ValueError(
-                        f"save_metric {self.save_metric!r} not found in "
-                        f"validation metrics. Available: {available}"
-                    )
+            target = resolve_save_target(val_metrics, self.save_metric)
             is_best = self.early.step(float(target))
             if is_best:
                 best_metrics = dict(val_metrics)
@@ -530,6 +501,37 @@ class TrainLoop:
         (self.metrics_path / "epoch_metrics.json").write_text(
             json.dumps(_jsonable(self.epoch_metrics), indent=4)
         )
+
+
+def resolve_save_target(val_metrics: Dict[str, Any], save_metric: str) -> float:
+    """Best-checkpoint target from flattened validation metrics.
+
+    Flattened keys are '{metric}[_{PATTERN}]' (no group prefix, reference
+    flatten semantics) — match the metric name as an exact component so
+    'accuracy' never selects 'balanced_accuracy'; prefer the longest
+    pattern suffix (the full-modality one). Fails loudly like the
+    reference (train_multimodal.py:361 raises on a missing target metric)
+    — silently flipping to min-loss would train to a different criterion
+    while EarlyStopping stays in the configured metric's mode."""
+    target = val_metrics.get(save_metric)
+    if target is not None:
+        return float(target)
+    import re as _re
+
+    rx = _re.compile(rf"^{_re.escape(save_metric)}(_[A-Z0-9]+)?$")
+    cands = [
+        k for k in val_metrics
+        if rx.match(k) and isinstance(val_metrics[k], (int, float))
+    ]
+    if cands:
+        return float(val_metrics[max(cands, key=len)])
+    available = sorted(
+        k for k, v in val_metrics.items() if isinstance(v, (int, float))
+    )
+    raise ValueError(
+        f"save_metric {save_metric!r} not found in validation metrics. "
+        f"Available: {available}"
+    )
 
 
 def _jsonable(obj: Any) -> Any:

@@ -70,8 +70,28 @@ def make_stacked_train_step(
 
     Signature: (stacked_state, stacked_batch, rngs) -> (stacked_state, outs)
     where rngs is a (K,)-stacked PRNG key array (one independent dropout
-    stream per run) and every out leaf carries the K axis."""
-    inner = make_train_step(task, donate=False)
+    stream per run) and every out leaf carries the K axis.
+
+    Padding steps leave a fold's state untouched: when a fold's
+    sample_mask is all zero (StackedLoaderGroup re-feeds the last batch
+    after the fold is exhausted), its gradients are zero but a plain
+    optax update would still move params (Adam momentum) and refresh BN
+    running stats from the stale batch — breaking bit-parity with
+    separate runs of unequal length. The per-fold select keeps the old
+    state for dead steps (under vmap, lax-style cond lowers to select
+    anyway, so this costs one cheap elementwise select per leaf)."""
+    base = make_train_step(task, donate=False)
+
+    def inner(state, batch, rng):
+        new_state, out = base(state, batch, rng)
+        mask = batch.get("sample_mask")
+        if mask is None:
+            return new_state, out
+        live = jnp.any(mask > 0)
+        guarded = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(live, n, o), new_state, state
+        )
+        return guarded, out
 
     vstep = jax.vmap(inner, in_axes=(0, 0, 0), out_axes=(0, 0))
     return jax.jit(vstep, donate_argnums=(0,) if donate else ())

@@ -182,3 +182,39 @@ def test_stacked_cv_cli_matches_sequential(tmp_path):
     for ka in agg_a[0]:
         np.testing.assert_allclose(agg_a[0][ka], agg_b[0][ka], rtol=1e-3,
                                    atol=1e-6)
+
+
+def test_padding_steps_leave_fold_state_untouched():
+    """A lockstep step where a fold's sample_mask is all zero must not move
+    that fold's params, optimizer state (Adam momentum!), BN stats, or step
+    counter — otherwise stacked CV with unequal fold lengths diverges from
+    separate sequential runs."""
+    states, task = build_runs(2)
+    stacked = stack_states(states)
+    sstep = make_stacked_train_step(task, donate=False)
+    b0, b1 = make_batch(7), make_batch(8)
+    b0["sample_mask"] = np.ones(16, np.float32)
+    b1["sample_mask"] = np.ones(16, np.float32)
+    rngs = stacked_rngs(jax.random.PRNGKey(0), 2)
+
+    # one live step for both folds, then a step where fold 1 is padding
+    stacked, _ = sstep(stacked, stack_batches([b0, b1]), rngs)
+    before = unstack_states(stacked, 2)[1]
+    b1_dead = dict(b1)
+    b1_dead["sample_mask"] = np.zeros(16, np.float32)
+    stacked, _ = sstep(stacked, stack_batches([b0, b1_dead]), rngs)
+    after_live, after_dead = unstack_states(stacked, 2)
+
+    # fold 0 moved...
+    moved = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            unstack_states(stack_states(states), 2)[0].params,
+            after_live.params,
+        )
+    )
+    assert any(m > 0 for m in moved)
+    # ...fold 1 did not (params, opt_state, step — exact equality)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(before)),
+                    jax.tree_util.tree_leaves(jax.device_get(after_dead))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
