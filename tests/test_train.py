@@ -302,3 +302,35 @@ class TestCheckpoints:
             np.asarray(loaded["fc_out"]["kernel"]),
             np.asarray(state.params["fc_out"]["kernel"]),
         )
+
+
+class TestResolveSaveTarget:
+    """Best-checkpoint target resolution (shared by TrainLoop and stacked
+    CV): exact key, pattern-suffixed fallback, longest-suffix preference,
+    loud failure (reference train_multimodal.py:361 raises on a miss)."""
+
+    def test_exact_key(self):
+        from mmtpu.train.loop import resolve_save_target
+
+        assert resolve_save_target({"loss": 0.5}, "loss") == 0.5
+
+    def test_pattern_suffix_prefers_longest(self):
+        from mmtpu.train.loop import resolve_save_target
+
+        metrics = {"accuracy_A": 0.1, "accuracy_AI": 0.9, "loss": 0.3}
+        assert resolve_save_target(metrics, "accuracy") == 0.9
+
+    def test_no_prefix_collision(self):
+        from mmtpu.train.loop import resolve_save_target
+
+        # 'accuracy' must never select 'balanced_accuracy_AI'
+        metrics = {"balanced_accuracy_AI": 0.7, "accuracy_AI": 0.2}
+        assert resolve_save_target(metrics, "accuracy") == 0.2
+
+    def test_missing_raises(self):
+        import pytest
+
+        from mmtpu.train.loop import resolve_save_target
+
+        with pytest.raises(ValueError, match="save_metric 'f1'"):
+            resolve_save_target({"loss": 0.1, "accuracy_AI": 0.5}, "f1")
