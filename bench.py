@@ -297,6 +297,11 @@ def main() -> None:
         best = max(results, key=lambda r: r["samples_per_sec"])
         print(json.dumps({"sweep": results, "best": best}, indent=1),
               file=sys.stderr)
+        # --sweep is a diagnostic mode: stop here rather than also printing
+        # the fixed-config headline JSON, which measures (DEFAULT_BATCH,
+        # DEFAULT_PRECISION) for round-over-round comparability and could
+        # disagree with the sweep winner just printed above
+        return
 
     m = measure(build, DEFAULT_BATCH, DEFAULT_PRECISION)
     mosi_B = 32

@@ -31,7 +31,11 @@ import numpy as np
 
 from mmtpu.cli import common
 from mmtpu.train.early_stopping import EarlyStopping
-from mmtpu.train.loop import _jsonable, _nest_epoch_metrics, resolve_save_target
+from mmtpu.train.loop import (
+    _jsonable,
+    resolve_save_target,
+    split_epoch_entry,
+)
 from mmtpu.train.stacked import (
     StackedLoaderGroup,
     make_stacked_eval_step,
@@ -47,13 +51,14 @@ from mmtpu.utils.utils import flatten_leaves
 console = get_console()
 
 
-def _fold_loss(losses: List[Any], masks: List[Any], fold: int) -> float:
+def _fold_loss(losses: List[np.ndarray], masks: List[np.ndarray],
+               fold: int) -> float:
     """Mean loss over the fold's REAL steps (padded lockstep steps where the
-    fold was exhausted carry all-zero sample masks and are excluded)."""
-    ls = np.asarray(jax.device_get([l[fold] for l in losses]))
-    valid = np.asarray(
-        [float(np.asarray(m[fold]).sum()) > 0 for m in masks]
-    )
+    fold was exhausted carry all-zero sample masks and are excluded).
+    `losses`/`masks` are host arrays — run_split fetches the whole epoch in
+    one bulk device_get rather than K x steps tiny transfers."""
+    ls = np.asarray([l[fold] for l in losses])
+    valid = np.asarray([float(m[fold].sum()) > 0 for m in masks])
     n = max(int(valid.sum()), 1)
     return float(np.sum(ls * valid) / n)
 
@@ -194,6 +199,9 @@ def run(cfg, args, json_nesting: str = "reference") -> int:
                     vocab,
                     out["sample_mask"][f] if "sample_mask" in out else None,
                 )
+        # one bulk transfer for the whole epoch's (steps, K) losses/masks
+        # (also syncs the device stream so `elapsed` covers real compute)
+        losses, masks = jax.device_get((losses, masks))
         elapsed = time.time() - t0
         per_fold = []
         for f, c in enumerate(fold_ctx):
@@ -223,18 +231,12 @@ def run(cfg, args, json_nesting: str = "reference") -> int:
             n_va = max(len(c["loaders"]["validation"]), 1)
             c["epoch_metrics"].append({
                 "epoch": epoch,
-                "train": {
-                    "loss": train_m[f]["loss"],
-                    "timing": {"total_time": t_tr,
-                               "avg_batch_time": t_tr / n_tr},
-                    **_nest_epoch_metrics(train_m[f], json_nesting),
-                },
-                "validation": {
-                    "loss": val_m[f]["loss"],
-                    "timing": {"total_time": t_va,
-                               "avg_batch_time": t_va / n_va},
-                    **_nest_epoch_metrics(val_m[f], json_nesting),
-                },
+                "train": split_epoch_entry(
+                    train_m[f]["loss"], train_m[f], t_tr, n_tr, json_nesting
+                ),
+                "validation": split_epoch_entry(
+                    val_m[f]["loss"], val_m[f], t_va, n_va, json_nesting
+                ),
             })
             (c["metrics_path"]).mkdir(parents=True, exist_ok=True)
             (c["metrics_path"] / "epoch_metrics.json").write_text(
@@ -298,17 +300,12 @@ def run(cfg, args, json_nesting: str = "reference") -> int:
                 # appended to each fold's epoch_metrics.json
                 # (train/loop.py test(); reference train_multimodal.py
                 # :828-855 — no 'metrics' catch-all bucket)
-                n_te = max(len(c["loaders"][test_split]), 1)
-                nested = _nest_epoch_metrics(test_m[f], json_nesting)
-                nested.pop("metrics", None)
-                c["epoch_metrics"].append({
-                    "test": {
-                        "loss": test_m[f]["loss"],
-                        "timing": {"total_time": t_te,
-                                   "avg_batch_time": t_te / n_te},
-                        **nested,
-                    }
-                })
+                entry = split_epoch_entry(
+                    test_m[f]["loss"], test_m[f], t_te,
+                    len(c["loaders"][test_split]), json_nesting,
+                )
+                entry.pop("metrics", None)
+                c["epoch_metrics"].append({"test": entry})
                 (c["metrics_path"] / "epoch_metrics.json").write_text(
                     json.dumps(_jsonable(c["epoch_metrics"]), indent=4)
                 )

@@ -20,12 +20,9 @@ def main(argv=None) -> int:
     common.apply_platform(args)
     cfg = common.load_config(args)
 
-    # Route through the generic driver with the AVMNIST JSON nesting.
-    if cfg.experiment.cross_validation:
-        return train_multimodal.main_cross_validation(
-            cfg, args, json_nesting="avmnist"
-        )
-    return train_multimodal.run_single(cfg, args, json_nesting="avmnist")
+    # Route through the generic driver with the AVMNIST JSON nesting
+    # (includes the --stacked-folds path, same as train_multimodal).
+    return train_multimodal.route(cfg, args, json_nesting="avmnist")
 
 
 if __name__ == "__main__":

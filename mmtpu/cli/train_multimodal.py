@@ -36,25 +36,42 @@ def modalities_for_model(model_type: str):
     raise ValueError(f"Unknown model type: {model_type}")
 
 
-def main(argv=None) -> int:
-    args = common.standard_arg_parser(__doc__).parse_args(argv)
-    common.apply_platform(args)
-    cfg = common.load_config(args)
-
+def route(cfg, args, json_nesting: str = "reference") -> int:
+    """Dispatch to single-run / sequential-CV / stacked-CV. Shared by
+    train_multimodal and train_avmnist (which only differs in nesting)."""
     if cfg.experiment.cross_validation:
         if getattr(args, "stacked_folds", False):
             mt = cfg.model.model_type.lower()
+            dp = getattr(args, "data_parallel", None)
+            if dp is None:
+                dp = getattr(cfg.experiment, "data_parallel", None)
             if mt in ("mmin", "redcore", "self-mm", "self_mm"):
                 console.warning(
                     f"--stacked-folds unsupported for {mt}; "
                     "falling back to sequential CV"
                 )
+            elif dp and dp != 1:
+                # the stacked engine is a single-device program (vmap over
+                # folds); honoring the requested mesh matters more than
+                # stacking, so fall back to sequential CV which shards
+                console.warning(
+                    "--stacked-folds is single-device and data_parallel="
+                    f"{dp} was requested; falling back to sequential CV "
+                    "on the mesh"
+                )
             else:
                 from mmtpu.cli import stacked_cv
 
-                return stacked_cv.run(cfg, args)
-        return main_cross_validation(cfg, args)
-    return run_single(cfg, args)
+                return stacked_cv.run(cfg, args, json_nesting=json_nesting)
+        return main_cross_validation(cfg, args, json_nesting=json_nesting)
+    return run_single(cfg, args, json_nesting=json_nesting)
+
+
+def main(argv=None) -> int:
+    args = common.standard_arg_parser(__doc__).parse_args(argv)
+    common.apply_platform(args)
+    cfg = common.load_config(args)
+    return route(cfg, args)
 
 
 def run_single(cfg, args, cv_no=None, json_nesting="reference", collect=None) -> int:

@@ -56,6 +56,22 @@ def _nest_epoch_metrics(flat: Dict[str, Any], style: str = "reference") -> Dict[
     return out
 
 
+def split_epoch_entry(loss: float, metrics: Dict[str, Any], elapsed: float,
+                      n_batches: int, json_nesting: str) -> Dict[str, Any]:
+    """One split's body inside an epoch_metrics.json entry — loss + timing +
+    nested metrics (reference schema, train_multimodal.py:595-729). Single
+    source of truth for the sequential loop AND the stacked-CV engine so the
+    two cannot drift."""
+    return {
+        "loss": loss,
+        "timing": {
+            "total_time": elapsed,
+            "avg_batch_time": elapsed / max(int(n_batches), 1),
+        },
+        **_nest_epoch_metrics(metrics, json_nesting),
+    }
+
+
 class TrainLoop:
     def __init__(
         self,
@@ -369,22 +385,16 @@ class TrainLoop:
             n_val = max(len(self.loaders["validation"]), 1)
             epoch_entry = {
                 "epoch": epoch,
-                "train": {
-                    "loss": train_loss,
-                    "timing": {
-                        "total_time": self.timing_history["train"][-1],
-                        "avg_batch_time": self.timing_history["train"][-1] / n_train,
-                    },
-                    **_nest_epoch_metrics(train_metrics, self.json_nesting),
-                },
-                "validation": {
-                    "loss": val_loss,
-                    "timing": {
-                        "total_time": self.timing_history["validation"][-1],
-                        "avg_batch_time": self.timing_history["validation"][-1] / n_val,
-                    },
-                    **_nest_epoch_metrics(val_metrics, self.json_nesting),
-                },
+                "train": split_epoch_entry(
+                    train_loss, train_metrics,
+                    self.timing_history["train"][-1], n_train,
+                    self.json_nesting,
+                ),
+                "validation": split_epoch_entry(
+                    val_loss, val_metrics,
+                    self.timing_history["validation"][-1], n_val,
+                    self.json_nesting,
+                ),
             }
             self.epoch_metrics.append(epoch_entry)
             self._write_epoch_metrics()
@@ -459,17 +469,11 @@ class TrainLoop:
                     {}, {split: metrics}
                 )
             if split == "test":
-                n = max(len(self.loaders[split]), 1)
-                nested = _nest_epoch_metrics(metrics, self.json_nesting)
                 entry = {
-                    "test": {
-                        "loss": loss,
-                        "timing": {
-                            "total_time": elapsed,
-                            "avg_batch_time": elapsed / n,
-                        },
-                        **nested,
-                    }
+                    "test": split_epoch_entry(
+                        loss, metrics, elapsed, len(self.loaders[split]),
+                        self.json_nesting,
+                    )
                 }
                 if self.json_nesting == "reference":
                     # the reference's generic test entry has no 'metrics'

@@ -131,6 +131,13 @@ class StackedLoaderGroup:
                     b = next(it)
                     lasts[i] = b
                 except StopIteration:
+                    if lasts[i] is None:
+                        raise ValueError(
+                            f"stacked run {i} produced zero batches — its "
+                            "split is empty (too few samples for this "
+                            "fold?); stacking needs every run to yield at "
+                            "least one batch"
+                        )
                     b = dict(lasts[i])
                     b["sample_mask"] = np.zeros_like(
                         np.asarray(b.get(

@@ -33,7 +33,15 @@ def run_cli_inproc(module, config, run_id="99", extra=(), env_extra=None,
         code = mod.main(["--config", str(config), "--run_id", run_id,
                          "--cpu", *extra])
     except SystemExit as e:  # argparse error paths
-        code = int(e.code or 0)
+        # sys.exit("message") carries a string code (exit status 1); keep
+        # the message visible instead of crashing on int("message")
+        if e.code is None:
+            code = 0
+        elif isinstance(e.code, int):
+            code = e.code
+        else:
+            print(f"SystemExit: {e.code}")
+            code = 1
     finally:
         os.chdir(old_cwd)
         os.environ.clear()

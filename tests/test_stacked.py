@@ -5,6 +5,7 @@ not an approximation."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mmtpu.config.optim import OptimizerConfig
 from mmtpu.models import build_module
@@ -218,3 +219,75 @@ def test_padding_steps_leave_fold_state_untouched():
     for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(before)),
                     jax.tree_util.tree_leaves(jax.device_get(after_dead))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_empty_fold_raises_clear_error():
+    """A fold whose split yields zero batches must fail loudly by name,
+    not crash with TypeError deep in lockstep iteration."""
+    from mmtpu.train.stacked import StackedLoaderGroup
+
+    class Empty:
+        def __len__(self):
+            return 0
+
+        def __iter__(self):
+            return iter(())
+
+    class One:
+        def __len__(self):
+            return 1
+
+        def __iter__(self):
+            yield {"labels": np.zeros(4, np.int32)}
+
+    group = StackedLoaderGroup([One(), Empty()])
+    with pytest.raises(ValueError, match="stacked run 1"):
+        list(group)
+
+
+class _Recorder:
+    def __init__(self):
+        self.calls = []
+
+    def __call__(self, name):
+        def fn(cfg, args, **kw):
+            self.calls.append((name, kw))
+            return 0
+
+        return fn
+
+
+def _route_cfg(cv=3, dp=None, model_type="avmnist"):
+    from types import SimpleNamespace
+
+    return SimpleNamespace(
+        experiment=SimpleNamespace(cross_validation=cv, data_parallel=dp),
+        model=SimpleNamespace(model_type=model_type),
+    )
+
+
+def test_route_stacked_with_dp_falls_back_to_sequential(monkeypatch):
+    """--stacked-folds + data_parallel: the mesh wins — sequential CV runs
+    (the stacked engine is a single-device program)."""
+    from types import SimpleNamespace
+
+    from mmtpu.cli import train_multimodal as tm
+
+    rec = _Recorder()
+    monkeypatch.setattr(tm, "main_cross_validation", rec("sequential"))
+    args = SimpleNamespace(stacked_folds=True, data_parallel=2)
+    assert tm.route(_route_cfg(dp=None), args) == 0
+    assert rec.calls == [("sequential", {"json_nesting": "reference"})]
+
+
+def test_route_stacked_no_dp_uses_stacked_engine(monkeypatch):
+    from types import SimpleNamespace
+
+    from mmtpu.cli import stacked_cv
+    from mmtpu.cli import train_multimodal as tm
+
+    rec = _Recorder()
+    monkeypatch.setattr(stacked_cv, "run", rec("stacked"))
+    args = SimpleNamespace(stacked_folds=True, data_parallel=None)
+    assert tm.route(_route_cfg(dp=None), args, json_nesting="avmnist") == 0
+    assert rec.calls == [("stacked", {"json_nesting": "avmnist"})]
