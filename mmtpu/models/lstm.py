@@ -24,54 +24,58 @@ class LSTMEncoder(nn.Module):
     dispatch between the Pallas VMEM-resident kernel (where it measurably
     wins: long T / small H) and the XLA scan (parity shapes) — checkpoints
     are layout-identical either way. backend='rnn' keeps flax's scanned
-    OptimizedLSTMCell (per-gate parameter layout, kept for comparison)."""
+    OptimizedLSTMCell (per-gate parameter layout, kept for comparison).
+
+    setup-style so multi-encoder hosts (UttFusionModel) can call
+    `project`/`pool` separately and batch the serial recurrence of several
+    encoders into ONE scan (ops/lstm.lstm_sequence_stacked); param names
+    ('wi', 'wh', 'attention_layer', 'attention_vector_weight') match the
+    previous compact layout exactly, so checkpoints are unaffected."""
 
     input_size: int
     hidden_size: int
     embd_method: str = "last"
     backend: str = "fused"
 
+    def setup(self):
+        assert self.embd_method in ("last", "attention", "maxpool")
+        if self.backend == "fused":
+            self.wi = nn.Dense(4 * self.hidden_size)
+            self.wh = self.param(
+                "wh",
+                nn.initializers.orthogonal(),
+                (self.hidden_size, 4 * self.hidden_size),
+            )
+        if self.embd_method == "attention":
+            self.attention_layer = nn.Dense(self.hidden_size)
+            self.attention_vector_weight = self.param(
+                "attention_vector_weight",
+                nn.initializers.lecun_normal(),
+                (self.hidden_size, 1),
+            )
+
     def get_embedding_size(self) -> int:
         return self.hidden_size
 
-    @nn.compact
-    def __call__(
+    def project(self, x: jnp.ndarray):
+        """Fused-backend input projection x@Wi + b (the parallel GEMM) and
+        the recurrent weights — the pieces a host model needs to advance
+        several encoders' recurrences in one stacked scan."""
+        assert self.backend == "fused"
+        return self.wi(x), self.wh
+
+    def pool(
         self,
-        x: jnp.ndarray,
+        outputs: jnp.ndarray,
+        carry_h: jnp.ndarray,
         lengths: Optional[jnp.ndarray] = None,
-        train: bool = False,
     ) -> jnp.ndarray:
-        assert self.embd_method in ("last", "attention", "maxpool")
-        if self.backend == "fused":
-            from mmtpu.ops.lstm import lstm_sequence
-
-            H = self.hidden_size
-            xw = nn.Dense(4 * H, name="wi")(x)
-            wh = self.param(
-                "wh", nn.initializers.orthogonal(), (H, 4 * H)
-            )
-            B = x.shape[0]
-            h0 = jnp.zeros((B, H), x.dtype)
-            outputs, (carry_h, carry_c) = lstm_sequence(
-                xw, wh, h0, h0,
-                lengths.astype(jnp.int32) if lengths is not None else None,
-            )
-        else:
-            rnn = nn.RNN(
-                nn.OptimizedLSTMCell(self.hidden_size), return_carry=True,
-                name="rnn",
-            )
-            if lengths is not None:
-                (carry_c, carry_h), outputs = rnn(x, seq_lengths=lengths)
-            else:
-                (carry_c, carry_h), outputs = rnn(x)
-
         if self.embd_method == "last":
             return carry_h
 
         if lengths is not None:
             # mask padded steps out of attention/maxpool reductions
-            steps = jnp.arange(x.shape[1])[None, :]
+            steps = jnp.arange(outputs.shape[1])[None, :]
             valid = steps < lengths[:, None]
         else:
             valid = None
@@ -82,17 +86,77 @@ class LSTMEncoder(nn.Module):
             return jnp.max(outputs, axis=1)
 
         # attention: softmax over seq of (tanh(W h + b) @ u)
-        hidden = nn.tanh(nn.Dense(self.hidden_size, name="attention_layer")(outputs))
-        u = self.param(
-            "attention_vector_weight",
-            nn.initializers.lecun_normal(),
-            (self.hidden_size, 1),
-        )
-        scores = (hidden @ u)[..., 0]  # (B, seq)
+        hidden = nn.tanh(self.attention_layer(outputs))
+        scores = (hidden @ self.attention_vector_weight)[..., 0]  # (B, seq)
         if valid is not None:
             scores = jnp.where(valid, scores, -jnp.inf)
         weights = nn.softmax(scores, axis=-1)[..., None]
         return jnp.sum(outputs * weights, axis=1)
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        lengths: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        if self.backend == "fused":
+            from mmtpu.ops.lstm import lstm_sequence
+
+            xw, wh = self.project(x)
+            h0 = jnp.zeros((x.shape[0], self.hidden_size), x.dtype)
+            outputs, (carry_h, carry_c) = lstm_sequence(
+                xw, wh, h0, h0,
+                lengths.astype(jnp.int32) if lengths is not None else None,
+            )
+        else:
+            # declared inline (not in setup) to keep the historical param
+            # layout: flax's scope-sharing RNN surfaces the cell params as
+            # a top-level 'OptimizedLSTMCell_0' entry, which is what
+            # backend='rnn' checkpoints on disk contain
+            rnn = nn.RNN(
+                nn.OptimizedLSTMCell(self.hidden_size), return_carry=True,
+                name="rnn",
+            )
+            if lengths is not None:
+                (carry_c, carry_h), outputs = rnn(x, seq_lengths=lengths)
+            else:
+                (carry_c, carry_h), outputs = rnn(x)
+
+        return self.pool(outputs, carry_h, lengths)
+
+
+def can_stack_pair(netA: nn.Module, netV: nn.Module, A, V) -> bool:
+    """True when two sibling encoders' recurrences can be advanced by one
+    stacked scan: both fused LSTMEncoders with equal hidden size over
+    aligned (B, T) sequence inputs."""
+    return (
+        A is not None and V is not None
+        and type(netA) is LSTMEncoder and type(netV) is LSTMEncoder
+        and netA.backend == "fused" and netV.backend == "fused"
+        and netA.hidden_size == netV.hidden_size
+        and getattr(A, "ndim", 0) == 3 and getattr(V, "ndim", 0) == 3
+        and A.shape[0] == V.shape[0] and A.shape[1] == V.shape[1]
+    )
+
+
+def encode_pair_stacked(netA: nn.Module, netV: nn.Module, A, V):
+    """Encode two modalities' sequences with ONE scan over both LSTMs.
+
+    Two separate lax.scans execute back-to-back on the TPU's single compute
+    stream (2xT sequential steps of tiny matmuls); stacking the recurrences
+    (ops/lstm.lstm_sequence_stacked) runs T steps of one batched
+    contraction — mathematically identical, ~half the serial chain.
+    Caller must have checked `can_stack_pair`."""
+    from mmtpu.ops.lstm import lstm_sequence_stacked
+
+    xw_a, wh_a = netA.project(A)
+    xw_v, wh_v = netV.project(V)
+    xw = jnp.stack([xw_a, xw_v])  # (2, B, T, 4H)
+    wh = jnp.stack([wh_a, wh_v])
+    h0 = jnp.zeros(xw.shape[:2] + (netA.hidden_size,), xw.dtype)
+    outs, (h, _) = lstm_sequence_stacked(xw, wh, h0, h0)
+    return netA.pool(outs[0], h[0]), netV.pool(outs[1], h[1])
 
 
 class LSTMClassifier(nn.Module):

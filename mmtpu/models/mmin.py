@@ -35,8 +35,14 @@ class MMIN(nn.Module):
         T: jnp.ndarray,
         train: bool = False,
     ) -> Dict[str, jnp.ndarray]:
-        a = self.netA(A, train=train)
-        v = self.netV(V, train=train)
+        from mmtpu.models.lstm import can_stack_pair, encode_pair_stacked
+
+        if can_stack_pair(self.netA, self.netV, A, V):
+            # one stacked scan for both modality LSTMs (see lstm.py)
+            a, v = encode_pair_stacked(self.netA, self.netV, A, V)
+        else:
+            a = self.netA(A, train=train)
+            v = self.netV(V, train=train)
         t = self.netT(T, train=train)
         fusion = jnp.concatenate([a, v, t], axis=-1)
 

@@ -154,6 +154,51 @@ def _pallas_lstm(xw, wh, h0, c0, lengths):
     return outs[:B, :, :H], (hT[:B, :H], cT[:B, :H])
 
 
+def lstm_sequence_stacked(
+    xw: jnp.ndarray,
+    wh: jnp.ndarray,
+    h0: jnp.ndarray,
+    c0: jnp.ndarray,
+    lengths: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """G independent LSTMs advanced by ONE scan (the multi-encoder fusion).
+
+    xw: (G, B, T, 4H) pre-projected inputs; wh: (G, H, 4H); h0/c0: (G, B, H);
+    lengths: optional (G, B). Returns (outputs (G, B, T, H), (h, c)).
+
+    Why this exists: UttFusion-style models run one LSTM per modality.
+    As separate `lax.scan`s those execute back-to-back on the TPU's single
+    compute stream — 2x T sequential steps of MXU-underfilling (B, H)
+    matmuls. Stacking the G recurrences into one scan whose step does a
+    single batched (G, B, H) x (G, H, 4H) contraction halves the sequential
+    chain (measured on the MOSI UttFusion train step: see RESULTS.md).
+    Mathematically identical to G separate `lstm_sequence` calls; plain XLA
+    (differentiable as-is), since the per-group pallas dispatch shapes
+    (long T / tiny H) are not where multi-encoder models live."""
+    G, B, T, H4 = xw.shape
+    H = H4 // 4
+
+    def step(carry, t):
+        h, c = carry  # (G, B, H)
+        pre = xw[:, :, t] + jnp.einsum(
+            "gbh,gho->gbo", h, wh, preferred_element_type=jnp.float32
+        )
+        i = jax.nn.sigmoid(pre[..., :H])
+        f = jax.nn.sigmoid(pre[..., H : 2 * H])
+        g = jnp.tanh(pre[..., 2 * H : 3 * H])
+        o = jax.nn.sigmoid(pre[..., 3 * H :])
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        if lengths is not None:
+            keep = (t < lengths)[..., None]
+            h_new = jnp.where(keep, h_new, h)
+            c_new = jnp.where(keep, c_new, c)
+        return (h_new, c_new), h_new
+
+    (h, c), outs = jax.lax.scan(step, (h0, c0), jnp.arange(T))
+    return jnp.transpose(outs, (1, 2, 0, 3)), (h, c)
+
+
 @jax.custom_vjp
 def lstm_sequence(
     xw: jnp.ndarray,

@@ -28,6 +28,72 @@ def test_utt_fusion_forward():
     assert out.shape == (2, 3)
 
 
+def _small_utt_fusion(embd_method="maxpool", hidden_v=32):
+    return build_module(
+        "utt_fusion",
+        netA=build_module("lstmencoder", input_size=5, hidden_size=32,
+                          embd_method=embd_method),
+        netV=build_module("lstmencoder", input_size=20, hidden_size=hidden_v,
+                          embd_method=embd_method),
+        netT=build_module("textcnn", input_size=64, embd_size=16),
+        netC=build_module(
+            "fcclassifier", input_dim=32 + hidden_v + 16, layers=[32],
+            output_dim=3, dropout=0.0,
+        ),
+    )
+
+
+def test_utt_fusion_stacked_lstm_parity(monkeypatch):
+    """The stacked two-encoder recurrence (one scan) must match the
+    per-encoder path exactly — forward AND gradients, for every pooling."""
+    from mmtpu.models.utt_fusion import UttFusionModel
+
+    rng = np.random.default_rng(3)
+    A = jnp.asarray(rng.normal(size=(4, 12, 5)), jnp.float32)
+    V = jnp.asarray(rng.normal(size=(4, 12, 20)), jnp.float32)
+    T = jnp.asarray(rng.normal(size=(4, 12, 64)), jnp.float32)
+
+    for method in ("last", "attention", "maxpool"):
+        model = _small_utt_fusion(method)
+        assert model._can_stack(A, V, False, False)
+        v = model.init({"params": RNG, "dropout": RNG}, A, V, T, train=False)
+        fast = model.apply(v, A, V, T, train=False)
+
+        def loss(params):
+            return jnp.sum(model.apply({**v, "params": params},
+                                       A, V, T, train=False) ** 2)
+
+        g_fast = jax.grad(loss)(v["params"])
+
+        with monkeypatch.context() as m:
+            m.setattr(UttFusionModel, "_can_stack",
+                      lambda self, *a, **k: False)
+            slow = model.apply(v, A, V, T, train=False)
+            g_slow = jax.grad(loss)(v["params"])
+
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                                   rtol=1e-5, atol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+            ),
+            g_fast, g_slow,
+        )
+
+
+def test_utt_fusion_stack_dispatch_guards():
+    """Mismatched hidden sizes (or embedding inputs) fall back cleanly."""
+    model = _small_utt_fusion(hidden_v=16)
+    A = jnp.ones((2, 10, 5))
+    V = jnp.ones((2, 10, 20))
+    T = jnp.ones((2, 10, 64))
+    assert not model._can_stack(A, V, False, False)
+    assert not _small_utt_fusion()._can_stack(A, None, False, False)
+    assert not _small_utt_fusion()._can_stack(A, V, False, True)
+    v = model.init({"params": RNG, "dropout": RNG}, A, V, T, train=False)
+    assert model.apply(v, A, V, T, train=False).shape == (2, 3)
+
+
 def test_mmimdb_gmu_and_pooling():
     common = dict(
         image_encoder=build_module(

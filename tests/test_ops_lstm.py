@@ -65,3 +65,63 @@ def test_gradients_flow():
     g = jax.grad(lambda xw, wh: jnp.sum(lstm_sequence(xw, wh, h0, c0)[0] ** 2),
                  argnums=(0, 1))(xw, wh)
     assert all(bool(jnp.any(x != 0)) for x in g)
+
+
+class TestStacked:
+    """lstm_sequence_stacked: G recurrences in one scan must equal G
+    separate lstm_sequence calls (values AND gradients)."""
+
+    def _setup(self, G=3, B=5, T=9, H=12, seed=7):
+        from mmtpu.ops.lstm import lstm_sequence_stacked
+
+        rng = np.random.default_rng(seed)
+        xw = jnp.asarray(rng.normal(size=(G, B, T, 4 * H)) * 0.3, jnp.float32)
+        wh = jnp.asarray(rng.normal(size=(G, H, 4 * H)) * 0.1, jnp.float32)
+        z = jnp.zeros((G, B, H))
+        return lstm_sequence_stacked, xw, wh, z
+
+    def test_matches_per_group(self):
+        stacked, xw, wh, z = self._setup()
+        outs, (h, c) = stacked(xw, wh, z, z)
+        for g in range(xw.shape[0]):
+            o_g, (h_g, c_g) = lstm_sequence(xw[g], wh[g], z[g], z[g])
+            np.testing.assert_allclose(np.asarray(outs[g]), np.asarray(o_g),
+                                       rtol=1e-6, atol=1e-7)
+            np.testing.assert_allclose(np.asarray(h[g]), np.asarray(h_g),
+                                       rtol=1e-6, atol=1e-7)
+            np.testing.assert_allclose(np.asarray(c[g]), np.asarray(c_g),
+                                       rtol=1e-6, atol=1e-7)
+
+    def test_lengths_match_per_group(self):
+        stacked, xw, wh, z = self._setup()
+        G, B, T = xw.shape[:3]
+        lengths = jnp.asarray(
+            np.random.default_rng(1).integers(1, T + 1, (G, B)), jnp.int32
+        )
+        outs, (h, _) = stacked(xw, wh, z, z, lengths)
+        for g in range(G):
+            o_g, (h_g, _) = lstm_sequence(xw[g], wh[g], z[g], z[g], lengths[g])
+            np.testing.assert_allclose(np.asarray(outs[g]), np.asarray(o_g),
+                                       rtol=1e-6, atol=1e-7)
+            np.testing.assert_allclose(np.asarray(h[g]), np.asarray(h_g),
+                                       rtol=1e-6, atol=1e-7)
+
+    def test_gradients_match_per_group(self):
+        stacked, xw, wh, z = self._setup(G=2)
+
+        def loss_stacked(xw, wh):
+            outs, (h, _) = stacked(xw, wh, z, z)
+            return jnp.sum(outs ** 2) + jnp.sum(h ** 2)
+
+        def loss_seq(xw, wh):
+            tot = 0.0
+            for g in range(xw.shape[0]):
+                outs, (h, _) = lstm_sequence(xw[g], wh[g], z[g], z[g])
+                tot = tot + jnp.sum(outs ** 2) + jnp.sum(h ** 2)
+            return tot
+
+        g_s = jax.grad(loss_stacked, argnums=(0, 1))(xw, wh)
+        g_q = jax.grad(loss_seq, argnums=(0, 1))(xw, wh)
+        for a, b in zip(g_s, g_q):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=1e-6)
