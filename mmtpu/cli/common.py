@@ -9,6 +9,7 @@ loads :156-204, per-encoder optimizer param groups :216-305),
 from __future__ import annotations
 
 import argparse
+import os
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -104,6 +105,27 @@ class ProfilerSession:
 def apply_platform(args) -> None:
     if getattr(args, "cpu", False):
         jax.config.update("jax_platforms", "cpu")
+    _apply_compilation_cache()
+
+
+def _apply_compilation_cache() -> None:
+    """Honor JAX_COMPILATION_CACHE_DIR in CLI processes.
+
+    jax 0.9 does not read this env var itself (the config default stays
+    None with it set) — apply it explicitly so repeat CLI invocations of
+    the same config skip recompilation. No-op when the var is unset or the
+    cache is already configured."""
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if cache_dir and not jax.config.jax_compilation_cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs",
+            float(os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", 0.0)),
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_entry_size_bytes",
+            int(os.environ.get("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", -1)),
+        )
 
 
 _PRECISION_MAP = {

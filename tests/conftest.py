@@ -29,6 +29,15 @@ import jax  # noqa: E402
 # the config update below takes precedence over both.
 jax.config.update("jax_platforms", "cpu")
 
+# jax 0.9 does NOT read JAX_COMPILATION_CACHE_DIR from the environment
+# (verified: config stays None with the env var set) — the explicit config
+# update below is what actually enables the persistent cache in this
+# process. The env vars above still matter: mmtpu.cli.common applies them
+# via the same config calls in subprocess CLI runs.
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
