@@ -106,16 +106,45 @@ class CheckpointManager:
         save_pytree(path, tree)
         return path
 
+    def save_rolling(self, state, epoch: int,
+                     meta: Optional[Dict[str, Any]] = None) -> Path:
+        """Overwrite `last.ckpt` + `resume.json` every epoch — the mid-run
+        resume point (beyond the reference, which has no loop resume:
+        train_multimodal.py restores only for test/transfer). On preemptible
+        TPU capacity this is what lets --resume continue a killed run."""
+        tree = {
+            "params": _to_host(state.params),
+            "batch_stats": _to_host(state.batch_stats),
+            "opt_state": _to_host(state.opt_state),
+            "step": int(state.step),
+        }
+        path = self.model_dir / "last.ckpt"
+        save_pytree(path, tree)
+        (self.model_dir / "resume.json").write_text(
+            json.dumps({"epoch": epoch, **(meta or {})})
+        )
+        return path
+
+    def load_resume_meta(self) -> Optional[Dict[str, Any]]:
+        meta = self.model_dir / "resume.json"
+        if not meta.exists() or not (self.model_dir / "last.ckpt").exists():
+            return None
+        return json.loads(meta.read_text())
+
     def load_checkpoint(self, state, which: str = "best"):
         """Restore best / epoch_{N} / last into a TrainState."""
         if which == "last":
+            rolling = self.model_dir / "last.ckpt"
             candidates = sorted(
                 self.model_dir.glob("epoch_*.ckpt"),
                 key=lambda p: int(p.stem.split("_")[1]),
             )
-            if not candidates:
+            if rolling.exists():
+                path = rolling
+            elif candidates:
+                path = candidates[-1]
+            else:
                 raise FileNotFoundError(f"No checkpoints in {self.model_dir}")
-            path = candidates[-1]
         elif which == "best":
             path = self.model_dir / "best.ckpt"
         else:

@@ -67,6 +67,14 @@ def standard_arg_parser(description: str) -> argparse.ArgumentParser:
              "batch sizes.",
     )
     p.add_argument(
+        "--resume", action="store_true",
+        help="Continue a previously interrupted run from its rolling "
+             "last.ckpt/resume.json (written every epoch). The resumed run "
+             "is bit-identical to an uninterrupted one: RNG stream, "
+             "epoch-seeded schedules, optimizer moments, LR scale, and "
+             "early-stopping counters all restore exactly.",
+    )
+    p.add_argument(
         "--stacked-folds", "--stacked_folds", dest="stacked_folds",
         action="store_true",
         help="Cross-validation only: train ALL folds simultaneously in one "

@@ -185,6 +185,7 @@ def main(argv=None) -> int:
         record_fn=record,
         step_builders=step_builders,
         print_interval=cfg.experiment.train_print_interval_epochs,
+        resume=getattr(args, "resume", False),
     )
 
     if args.dry_run or cfg.experiment.dry_run:

@@ -102,6 +102,7 @@ def main(argv=None) -> int:
         vocab_override=[str(modality)] * len(any_loader.pattern_vocab),
         metrics_postprocess=add_plain_accuracy,
         eval_batch_factor=getattr(args, "eval_batch_factor", 1),
+        resume=getattr(args, "resume", False),
     )
 
     if args.dry_run or cfg.experiment.dry_run:

@@ -140,6 +140,7 @@ def run_single(cfg, args, cv_no=None, json_nesting="reference", collect=None) ->
         json_nesting=json_nesting,
         run_id=args.run_id,
         eval_batch_factor=getattr(args, "eval_batch_factor", 1),
+        resume=getattr(args, "resume", False),
     )
 
     if args.dry_run or cfg.experiment.dry_run:

@@ -99,6 +99,8 @@ class TrainLoop:
         vocab_override: Optional[List[str]] = None,
         metrics_postprocess: Optional[Callable[[Dict[str, Any]], Dict[str, Any]]] = None,
         eval_batch_factor: int = 1,
+        resume: bool = False,
+        resume_save: bool = True,
     ) -> None:
         # vocab_override renames the recorder's pattern vocabulary (e.g. the
         # monomodal driver records under the MODALITY name, reference
@@ -106,6 +108,8 @@ class TrainLoop:
         # epoch's flattened metric dict before recording/JSON.
         self.vocab_override = vocab_override
         self.metrics_postprocess = metrics_postprocess
+        self.resume = resume
+        self.resume_save = resume_save
         self.json_nesting = json_nesting
         self.run_id = run_id
         self.task = task
@@ -343,9 +347,96 @@ class TrainLoop:
             if k != "total_loss"
         }
 
+    # -- mid-run resume (beyond the reference: no loop resume exists there;
+    # SURVEY.md §5.4 "no mid-run resume of the training loop") ---------------
+
+    def _save_resume_point(self, epoch: int,
+                           best_metrics: Optional[Dict[str, Any]]) -> None:
+        """Rolling last.ckpt + the loop's host-side state, every epoch."""
+        self.ckpt.save_rolling(
+            self.state, epoch,
+            meta=_jsonable({
+                "early": {"best": self.early.best,
+                          "counter": self.early.counter,
+                          "should_stop": self.early.should_stop},
+                "lr": (
+                    {"epoch": self.lr.epoch, "best": self.lr._best,
+                     "num_bad": self.lr._num_bad,
+                     "cooldown": self.lr._cooldown, "scale": self.lr._scale}
+                    if self.lr is not None else None
+                ),
+                "rng": np.asarray(self._rng).tolist(),
+                "best_metrics": best_metrics,
+                "metrics_history": self.metrics_history,
+                "metrics_history_nested": self.metrics_history_nested,
+                "timing_history": self.timing_history,
+            }),
+        )
+
+    def _try_resume(self):
+        """Restore loop + train state from the rolling resume point.
+
+        Returns (next_epoch, best_metrics) or None. The restored run is
+        bit-identical to an uninterrupted one: the dropout/shuffle RNG
+        stream continues from the saved key, the epoch-seeded schedules
+        key off the absolute epoch index, and the optimizer state (incl.
+        Adam moments and the host-side LR scale) restores exactly."""
+        meta = self.ckpt.load_resume_meta()
+        if meta is None:
+            return None
+        self.state = self.ckpt.load_checkpoint(self.state, "last")
+        # streaming BatchLoaders shuffle/pattern-schedule off a stateful
+        # per-loader epoch counter — fast-forward it to the completed-epoch
+        # count so epoch N's batch order matches the uninterrupted run
+        # (the device-resident scan path keys schedules off the absolute
+        # epoch index and needs no fast-forward)
+        for loader in self.loaders.values():
+            if hasattr(loader, "epoch"):
+                loader.epoch = int(meta["epoch"])
+        if self.mesh is not None and self._scan:
+            from mmtpu.train import device_loop as dl
+
+            self.state = dl.replicate_tree(self.state, self.mesh)
+        early = meta.get("early") or {}
+        self.early.best = early.get("best")
+        self.early.counter = int(early.get("counter", 0))
+        self.early.should_stop = bool(early.get("should_stop", False))
+        lr_meta = meta.get("lr")
+        if self.lr is not None and lr_meta:
+            self.lr.epoch = int(lr_meta.get("epoch", 0))
+            self.lr._best = lr_meta.get("best")
+            self.lr._num_bad = int(lr_meta.get("num_bad", 0))
+            self.lr._cooldown = int(lr_meta.get("cooldown", 0))
+            self.lr._scale = float(lr_meta.get("scale", 1.0))
+            set_lr_scale(self.state.opt_state, self.lr._scale)
+        if meta.get("rng") is not None:
+            import jax.numpy as jnp
+
+            self._rng = jnp.asarray(meta["rng"], jnp.uint32)
+        self.metrics_history = meta.get("metrics_history", self.metrics_history)
+        self.metrics_history_nested = meta.get(
+            "metrics_history_nested", self.metrics_history_nested
+        )
+        self.timing_history = meta.get("timing_history", self.timing_history)
+        if self.metrics_path is not None:
+            fp = self.metrics_path / "epoch_metrics.json"
+            if fp.exists():
+                self.epoch_metrics = json.loads(fp.read_text())
+        epoch = int(meta["epoch"])
+        logger.info(f"resuming from epoch {epoch} ({self.ckpt.model_dir})")
+        console.print(f"resuming from epoch {epoch}")
+        return epoch + 1, meta.get("best_metrics")
+
     def run(self) -> Dict[str, Any]:
         best_metrics: Optional[Dict[str, Any]] = None
-        for epoch in range(1, self.epochs + 1):
+        start_epoch = 1
+        if self.resume:
+            resumed = self._try_resume()
+            if resumed is not None:
+                start_epoch, best_metrics = resumed
+                if self.early.should_stop:
+                    return best_metrics or {}
+        for epoch in range(start_epoch, self.epochs + 1):
             self.recorder.reset()
             train_loss = self.train_epoch(epoch)
             raw_train = self.recorder.calculate_all_groups(
@@ -414,6 +505,8 @@ class TrainLoop:
                     self.on_best(self.state, epoch)
             if self.early.should_stop:
                 console.print(f"early stopping at epoch {epoch}")
+                if self.resume_save:
+                    self._save_resume_point(epoch, best_metrics)
                 break
 
             if self.lr is not None:
@@ -422,6 +515,9 @@ class TrainLoop:
                 )
                 scale = self.lr.step(metric_for_sched)
                 set_lr_scale(self.state.opt_state, scale)
+
+            if self.resume_save:
+                self._save_resume_point(epoch, best_metrics)
 
         return best_metrics or {}
 

@@ -4,6 +4,8 @@ import tempfile
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+import pytest
 
 from mmtpu.checkpoints.manager import CheckpointManager
 from mmtpu.config import MetricConfig
@@ -21,7 +23,9 @@ from mmtpu.train.state import TrainState
 from mmtpu.train.step import ClassificationTask
 
 
-def build_loop(device_resident: str, mesh=None, eval_batch_factor: int = 1) -> TrainLoop:
+def build_loop(device_resident: str, mesh=None, eval_batch_factor: int = 1,
+               ckpt_dir=None, epochs: int = 2, metrics_path=None,
+               resume: bool = False, dropout: float = 0.0) -> TrainLoop:
     ds_tr = SyntheticAVMNIST(
         split="train", num_samples=96, selected_patterns=["ai"], seed=1
     )
@@ -40,7 +44,7 @@ def build_loop(device_resident: str, mesh=None, eval_batch_factor: int = 1) -> T
         image_encoder=build_module(
             "fcencoder", input_dim=784, layers=[16], dropout=0.0
         ),
-        hidden_dim=16, dropout=0.0, fusion_fn="concat",
+        hidden_dim=16, dropout=dropout, fusion_fn="concat",
     )
     rng = jax.random.PRNGKey(0)
     v = model.init(
@@ -67,10 +71,11 @@ def build_loop(device_resident: str, mesh=None, eval_batch_factor: int = 1) -> T
     )
     return TrainLoop(
         task=task, state=state, loaders=loaders, recorder=MetricRecorder(mc),
-        checkpoint_manager=CheckpointManager(tempfile.mkdtemp()),
-        epochs=2, early_stopping=EarlyStopping(enabled=False),
+        checkpoint_manager=CheckpointManager(ckpt_dir or tempfile.mkdtemp()),
+        epochs=epochs, early_stopping=EarlyStopping(enabled=False),
         device_resident=device_resident, mesh=mesh,
         eval_batch_factor=eval_batch_factor,
+        metrics_path=metrics_path, resume=resume,
     )
 
 
@@ -165,6 +170,85 @@ def test_scan_on_mesh_skips_indivisible_batch():
     )
     assert "train" not in loop2._scan
     assert "validation" in loop2._scan
+
+
+class TestResume:
+    """Mid-run resume (--resume): an interrupted-then-resumed run must be
+    bit-identical to an uninterrupted one — params, epoch_metrics.json,
+    RNG stream, early-stopping state (beyond the reference, which has no
+    loop resume; SURVEY §5.4)."""
+
+    def _run(self, tmp_path, mode, tag, epochs, resume=False, dropout=0.5):
+        loop = build_loop(
+            mode, ckpt_dir=tmp_path / f"ckpt_{tag}", epochs=epochs,
+            metrics_path=tmp_path / f"metrics_{tag}", resume=resume,
+            dropout=dropout,  # dropout makes RNG-stream divergence visible
+        )
+        loop.run()
+        return loop
+
+    def _assert_same(self, a, b):
+        import json
+
+        jax.tree_util.tree_map(
+            lambda x, y: np.testing.assert_array_equal(
+                np.asarray(x), np.asarray(y)
+            ),
+            jax.device_get(a.state.params), jax.device_get(b.state.params),
+        )
+        def strip_timing(entries):
+            return [
+                {k: ({kk: vv for kk, vv in v.items() if kk != "timing"}
+                     if isinstance(v, dict) else v)
+                 for k, v in e.items()}
+                for e in entries
+            ]
+
+        ea = json.loads((a.metrics_path / "epoch_metrics.json").read_text())
+        eb = json.loads((b.metrics_path / "epoch_metrics.json").read_text())
+        assert strip_timing(ea) == strip_timing(eb)
+        assert a.early.best == b.early.best
+        assert a.early.counter == b.early.counter
+
+    @pytest.mark.parametrize("mode", ["off", "on"])
+    def test_resumed_equals_uninterrupted(self, tmp_path, mode):
+        full = self._run(tmp_path, mode, f"full_{mode}", epochs=4)
+
+        part = self._run(tmp_path, mode, f"part_{mode}", epochs=2)
+        assert (part.ckpt.model_dir / "last.ckpt").exists()
+        assert (part.ckpt.model_dir / "resume.json").exists()
+        # "interruption": a fresh process picks the run back up
+        resumed = build_loop(
+            mode, ckpt_dir=part.ckpt.model_dir, epochs=4,
+            metrics_path=part.metrics_path, resume=True, dropout=0.5,
+        )
+        resumed.run()
+        self._assert_same(full, resumed)
+
+    def test_resume_with_completed_run_trains_no_more(self, tmp_path):
+        part = self._run(tmp_path, "off", "done", epochs=2)
+        resumed = build_loop(
+            "off", ckpt_dir=part.ckpt.model_dir, epochs=2,
+            metrics_path=part.metrics_path, resume=True,
+        )
+        resumed.run()
+        assert len(resumed.epoch_metrics) == 2  # loaded, not retrained
+
+    def test_cli_flag_wires_through(self):
+        from mmtpu.cli.common import standard_arg_parser
+
+        args = standard_arg_parser("t").parse_args(
+            ["--config", "x.yaml", "--resume"]
+        )
+        assert args.resume is True
+
+    def test_resume_without_checkpoint_starts_fresh(self, tmp_path):
+        loop = build_loop(
+            "off", ckpt_dir=tmp_path / "empty", epochs=1,
+            metrics_path=tmp_path / "m", resume=True,
+        )
+        loop.run()
+        assert len(loop.epoch_metrics) == 1
 
 
 def test_eval_batch_factor_identical_metrics():
