@@ -49,6 +49,7 @@ class CheckpointManager:
         save_metric: str = "loss",
         mode: str = "min",
         device: Optional[str] = None,
+        async_io: bool = False,
     ) -> None:
         self.model_dir = Path(model_dir)
         self.model_dir.mkdir(parents=True, exist_ok=True)
@@ -56,6 +57,41 @@ class CheckpointManager:
         self.mode = mode
         self.best_value: Optional[float] = None
         self.best_epoch: Optional[int] = None
+        # async_io: device→host snapshot happens synchronously (donated
+        # buffers are reused by the next step, so the copy cannot wait),
+        # but msgpack serialization + disk writes move to a single writer
+        # thread off the training path — the orbax-style async pattern.
+        self._executor = None
+        self._pending = []
+        if async_io:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._executor = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="ckpt-io"
+            )
+
+    def _snapshot(self, tree: Any) -> Any:
+        """Host snapshot of a state tree. With async_io, force REAL copies:
+        np.asarray of a CPU-backend jax array can alias the device buffer,
+        which the next (donating) train step reuses while the writer thread
+        is still serializing."""
+        if self._executor is None:
+            return _to_host(tree)
+        return jax.tree_util.tree_map(lambda x: np.array(x), tree)
+
+    def _submit(self, fn) -> None:
+        if self._executor is None:
+            fn()
+            return
+        self._pending = [f for f in self._pending if not f.done()]
+        self._pending.append(self._executor.submit(fn))
+
+    def wait(self) -> None:
+        """Block until queued checkpoint writes hit disk (and re-raise any
+        writer-thread error)."""
+        pending, self._pending = self._pending, []
+        for f in pending:
+            f.result()
 
     def is_better(self, value: float) -> bool:
         if self.best_value is None:
@@ -70,24 +106,27 @@ class CheckpointManager:
         extra: Optional[Dict[str, Any]] = None,
     ) -> Path:
         """Write epoch_{N}.ckpt and mirror to best.ckpt."""
-        tree = {
-            "params": _to_host(state.params),
-            "batch_stats": _to_host(state.batch_stats),
-            "opt_state": _to_host(state.opt_state),
-            "step": int(state.step),
-        }
+        tree = self._snapshot({
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+        })
+        tree["step"] = int(state.step)
         path = self.model_dir / f"epoch_{epoch}.ckpt"
-        save_pytree(path, tree)
         meta = {
             "epoch": epoch,
             "metric": self.save_metric,
             "value": metric_value,
             **(extra or {}),
         }
-        (self.model_dir / f"epoch_{epoch}.json").write_text(json.dumps(meta))
-        best = self.model_dir / "best.ckpt"
-        best.write_bytes(path.read_bytes())
-        (self.model_dir / "best.json").write_text(json.dumps(meta))
+
+        def write():
+            save_pytree(path, tree)
+            (self.model_dir / f"epoch_{epoch}.json").write_text(json.dumps(meta))
+            (self.model_dir / "best.ckpt").write_bytes(path.read_bytes())
+            (self.model_dir / "best.json").write_text(json.dumps(meta))
+
+        self._submit(write)
         if metric_value is not None:
             self.best_value = metric_value
             self.best_epoch = epoch
@@ -100,10 +139,10 @@ class CheckpointManager:
         """The monomodal→multimodal handoff artifact (params + BN stats,
         like the reference's full encoder state_dict)."""
         path = self.model_dir / f"encoder_{modality}_best.ckpt"
-        tree = {"params": _to_host(params)}
+        tree = {"params": self._snapshot(params)}
         if batch_stats is not None:
-            tree["batch_stats"] = _to_host(batch_stats)
-        save_pytree(path, tree)
+            tree["batch_stats"] = self._snapshot(batch_stats)
+        self._submit(lambda: save_pytree(path, tree))
         return path
 
     def save_rolling(self, state, epoch: int,
@@ -112,20 +151,24 @@ class CheckpointManager:
         resume point (beyond the reference, which has no loop resume:
         train_multimodal.py restores only for test/transfer). On preemptible
         TPU capacity this is what lets --resume continue a killed run."""
-        tree = {
-            "params": _to_host(state.params),
-            "batch_stats": _to_host(state.batch_stats),
-            "opt_state": _to_host(state.opt_state),
-            "step": int(state.step),
-        }
+        tree = self._snapshot({
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+        })
+        tree["step"] = int(state.step)
         path = self.model_dir / "last.ckpt"
-        save_pytree(path, tree)
-        (self.model_dir / "resume.json").write_text(
-            json.dumps({"epoch": epoch, **(meta or {})})
-        )
+        payload = json.dumps({"epoch": epoch, **(meta or {})})
+
+        def write():
+            save_pytree(path, tree)
+            (self.model_dir / "resume.json").write_text(payload)
+
+        self._submit(write)
         return path
 
     def load_resume_meta(self) -> Optional[Dict[str, Any]]:
+        self.wait()
         meta = self.model_dir / "resume.json"
         if not meta.exists() or not (self.model_dir / "last.ckpt").exists():
             return None
@@ -133,6 +176,7 @@ class CheckpointManager:
 
     def load_checkpoint(self, state, which: str = "best"):
         """Restore best / epoch_{N} / last into a TrainState."""
+        self.wait()
         if which == "last":
             rolling = self.model_dir / "last.ckpt"
             candidates = sorted(

@@ -355,10 +355,14 @@ def make_monitor(cfg):
 
 
 def make_checkpoint_manager(cfg) -> CheckpointManager:
+    # async_io: serialization + disk writes run on a writer thread off the
+    # training path (snapshots are taken synchronously); every load path
+    # drains the queue first, and the executor joins at process exit
     return CheckpointManager(
         cfg.logging.model_output_path,
         save_metric=cfg.logging.save_metric,
         mode=mode_for_metric(cfg.logging.save_metric),
+        async_io=True,
     )
 
 

@@ -519,6 +519,7 @@ class TrainLoop:
             if self.resume_save:
                 self._save_resume_point(epoch, best_metrics)
 
+        self.ckpt.wait()  # drain async checkpoint writes before returning
         return best_metrics or {}
 
     def test(self, splits=("test",)) -> Dict[str, Dict[str, Any]]:

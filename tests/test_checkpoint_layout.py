@@ -79,6 +79,42 @@ def test_matching_layouts_pass_through_unchanged(tmp_path):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
+def test_async_io_roundtrip_and_snapshot_isolation(tmp_path):
+    """async_io=True: writes land on a writer thread; load paths drain the
+    queue; and the snapshot is a REAL copy — mutating (donating over) the
+    source buffers after save must not corrupt what hits disk."""
+    x, lengths = _data()
+    model, variables = _make("fused", 7, x, lengths)
+    tx = optax.adam(1e-3)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx
+    )
+    mgr = CheckpointManager(tmp_path, async_io=True)
+    want = jax.device_get(state.params)
+    mgr.save_rolling(state, epoch=3, meta={"marker": 1})
+    mgr.save_checkpoint(state, epoch=3, metric_value=0.25)
+
+    # "donate": overwrite the live buffers the snapshot was taken from
+    state = state.replace(
+        params=jax.tree_util.tree_map(lambda p: p * 0.0 + 7.0, state.params)
+    )
+
+    meta = mgr.load_resume_meta()  # drains the writer queue
+    assert meta == {"epoch": 3, "marker": 1}
+    model2, fresh = _make("fused", 1, x, lengths)
+    restored = mgr.load_checkpoint(
+        TrainState.create(apply_fn=model2.apply, params=fresh["params"], tx=tx),
+        "last",
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        jax.device_get(restored.params), want,
+    )
+    mgr.wait()
+    assert (tmp_path / "best.ckpt").exists()
+    assert (tmp_path / "epoch_3.ckpt").exists()
+
+
 def test_trainstate_restore_carries_adam_moments_across_layouts(tmp_path):
     """Full-state restore: Adam mu/nu mirror the param tree, so the same
     gate-block concatenation must carry them into the fused layout."""
