@@ -286,18 +286,14 @@ def measure(builder, B, precision, windows=8, steps=60, warmup=10,
 def _enable_compile_cache() -> None:
     """Persistent compile cache: TPU compiles ride the remote-compile
     tunnel (20s-minutes); caching them makes repeat bench runs start hot.
-    jax 0.9 ignores the JAX_COMPILATION_CACHE_DIR env var, so set the
-    config explicitly."""
+    Host-CPU-keyed dir so another machine's XLA:CPU AOT entries are never
+    loaded here (feature mismatch risks SIGILL)."""
     import os
 
-    import jax
+    from mmtpu.utils import compile_cache
 
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".cache", "jax")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    root = os.path.dirname(os.path.abspath(__file__))
+    compile_cache.enable(compile_cache.host_cache_dir(root))
 
 
 def main() -> None:

@@ -83,7 +83,10 @@ class CheckpointManager:
         if self._executor is None:
             fn()
             return
+        done = [f for f in self._pending if f.done()]
         self._pending = [f for f in self._pending if not f.done()]
+        for f in done:
+            f.result()  # surface writer-thread errors instead of dropping them
         self._pending.append(self._executor.submit(fn))
 
     def wait(self) -> None:

@@ -1,0 +1,47 @@
+"""Persistent XLA compilation cache, keyed per host CPU.
+
+jax 0.9 ignores the JAX_COMPILATION_CACHE_DIR env var (the config default
+stays None with it set), so callers must apply the config explicitly —
+`enable()` does that. The cache directory is keyed by the host's CPU
+feature set: XLA:CPU AOT results embed machine features, and loading an
+entry compiled on a different machine logs
+"Machine type used for XLA:CPU compilation doesn't match ... could lead
+to execution errors such as SIGILL". Keying the directory avoids ever
+loading another host's AOT artifacts (TPU entries are keyed by the
+accelerator inside the cache key itself, but live in the same per-host
+dir — harmless).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import platform
+
+
+def host_cache_dir(root: str) -> str:
+    """`<root>/.cache/jax/<12-hex CPU-feature fingerprint>`."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            lines = f.read().splitlines()
+        fingerprint = next(
+            (ln for ln in lines if ln.startswith("flags")),
+            platform.processor() or platform.machine(),
+        )
+    except OSError:
+        fingerprint = platform.processor() or platform.machine()
+    key = hashlib.sha1(fingerprint.encode()).hexdigest()[:12]
+    return os.path.join(root, ".cache", "jax", key)
+
+
+def enable(cache_dir: str) -> None:
+    """Point jax's persistent compile cache at `cache_dir` (idempotent:
+    no-op if a cache dir is already configured)."""
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:
+        return
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

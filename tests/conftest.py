@@ -15,9 +15,15 @@ if "xla_force_host_platform_device_count" not in flags:
 
 # Persistent XLA compilation cache, shared by this process AND every
 # subprocess CLI test (env vars inherit): repeat compiles of the same tiny
-# models drop from seconds to ~0. The dir survives across sessions.
-_CACHE = os.path.join(os.path.dirname(os.path.dirname(__file__)),
-                      ".cache", "jax")
+# models drop from seconds to ~0. The dir survives across sessions and is
+# keyed per host CPU (mmtpu.utils.compile_cache) so AOT entries compiled
+# on another machine are never loaded here.
+import sys as _sys
+
+_sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from mmtpu.utils.compile_cache import host_cache_dir as _host_cache_dir  # noqa: E402
+
+_CACHE = _host_cache_dir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.makedirs(_CACHE, exist_ok=True)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")

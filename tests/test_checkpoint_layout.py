@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from mmtpu.checkpoints.manager import (
     CheckpointManager,
@@ -173,3 +174,30 @@ def test_trainstate_restore_carries_adam_moments_across_layouts(tmp_path):
         {"params": restored.params}, x, lengths, train=False
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_async_submit_surfaces_writer_errors(tmp_path):
+    """A failed async write must raise on the next interaction with the
+    manager (submit or wait), not vanish when the future is trimmed."""
+    mgr = CheckpointManager(tmp_path, async_io=True)
+
+    def boom():
+        raise RuntimeError("disk full")
+
+    mgr._submit(boom)
+    mgr._pending[-1].exception(timeout=10)  # let the writer finish
+    with pytest.raises(RuntimeError, match="disk full"):
+        mgr._submit(lambda: None)
+        mgr.wait()
+
+
+def test_host_cache_dir_is_host_keyed(tmp_path):
+    """Cache dir embeds a CPU fingerprint so another machine's XLA:CPU AOT
+    entries are never loaded (feature mismatch risks SIGILL)."""
+    from mmtpu.utils.compile_cache import host_cache_dir
+
+    d = host_cache_dir(str(tmp_path))
+    assert d.startswith(str(tmp_path / ".cache" / "jax"))
+    key = d.rsplit("/", 1)[-1]
+    assert len(key) == 12 and all(c in "0123456789abcdef" for c in key)
+    assert host_cache_dir(str(tmp_path)) == d  # stable on the same host
