@@ -286,14 +286,15 @@ def measure(builder, B, precision, windows=8, steps=60, warmup=10,
 def _enable_compile_cache() -> None:
     """Persistent compile cache: TPU compiles ride the remote-compile
     tunnel (20s-minutes); caching them makes repeat bench runs start hot.
-    Host-CPU-keyed dir so another machine's XLA:CPU AOT entries are never
+    TPU entries are host-independent and shared; a CPU-backend run gets a
+    host-CPU-keyed dir so another machine's XLA:CPU AOT entries are never
     loaded here (feature mismatch risks SIGILL)."""
     import os
 
     from mmtpu.utils import compile_cache
 
     root = os.path.dirname(os.path.abspath(__file__))
-    compile_cache.enable(compile_cache.host_cache_dir(root))
+    compile_cache.enable_for_backend(root)
 
 
 def main() -> None:

@@ -45,3 +45,19 @@ def enable(cache_dir: str) -> None:
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+def enable_for_backend(root: str) -> None:
+    """Enable the cache in the right directory for the active backend.
+
+    Only XLA:CPU compiles produce host-specific AOT binaries; TPU
+    executables come back from the compile service host-independent and
+    live in the shared `<root>/.cache/jax` dir (so e.g. bench.py reuses
+    TPU entries cached by earlier runs on any host). The CPU backend gets
+    the per-host keyed subdir."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        enable(host_cache_dir(root))
+    else:
+        enable(os.path.join(root, ".cache", "jax"))
