@@ -14,6 +14,7 @@ directly.
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 from typing import Any, Dict, Optional
 
@@ -27,12 +28,30 @@ logger = get_logger()
 
 
 def _to_host(tree: Any) -> Any:
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    # str/bytes leaves (e.g. the embedded resume_meta payload) msgpack
+    # natively; np.asarray would turn them into unserializable U/S arrays
+    return jax.tree_util.tree_map(
+        lambda x: x if isinstance(x, (str, bytes)) else np.asarray(x), tree
+    )
+
+
+def _write_bytes_atomic(path: Path, data: bytes) -> None:
+    """Write-to-tmp + rename so a kill mid-write never leaves a truncated
+    file — the resume artifacts exist precisely for preempted runs."""
+    tmp = path.with_name(path.name + ".tmp")
+    tmp.write_bytes(data)
+    os.replace(tmp, path)
+
+
+def _write_text_atomic(path: Path, text: str) -> None:
+    tmp = path.with_name(path.name + ".tmp")
+    tmp.write_text(text)
+    os.replace(tmp, path)
 
 
 def save_pytree(path: Path, tree: Dict[str, Any]) -> None:
     path.parent.mkdir(parents=True, exist_ok=True)
-    path.write_bytes(serialization.to_bytes(_to_host(tree)))
+    _write_bytes_atomic(path, serialization.to_bytes(_to_host(tree)))
 
 
 def load_pytree(path: Path, target: Optional[Any] = None) -> Any:
@@ -91,10 +110,18 @@ class CheckpointManager:
 
     def wait(self) -> None:
         """Block until queued checkpoint writes hit disk (and re-raise any
-        writer-thread error)."""
+        writer-thread error). Every future is joined even when an early one
+        failed — otherwise still-running writes could race a subsequent
+        read of the same files, and later errors would be lost."""
         pending, self._pending = self._pending, []
+        errors = []
         for f in pending:
-            f.result()
+            try:
+                f.result()
+            except Exception as e:  # join ALL before raising
+                errors.append(e)
+        if errors:
+            raise errors[0]
 
     def is_better(self, value: float) -> bool:
         if self.best_value is None:
@@ -125,9 +152,11 @@ class CheckpointManager:
 
         def write():
             save_pytree(path, tree)
-            (self.model_dir / f"epoch_{epoch}.json").write_text(json.dumps(meta))
-            (self.model_dir / "best.ckpt").write_bytes(path.read_bytes())
-            (self.model_dir / "best.json").write_text(json.dumps(meta))
+            _write_text_atomic(
+                self.model_dir / f"epoch_{epoch}.json", json.dumps(meta)
+            )
+            _write_bytes_atomic(self.model_dir / "best.ckpt", path.read_bytes())
+            _write_text_atomic(self.model_dir / "best.json", json.dumps(meta))
 
         self._submit(write)
         if metric_value is not None:
@@ -162,18 +191,33 @@ class CheckpointManager:
         tree["step"] = int(state.step)
         path = self.model_dir / "last.ckpt"
         payload = json.dumps({"epoch": epoch, **(meta or {})})
+        # The meta rides INSIDE last.ckpt (single atomic rename), so a kill
+        # can never pair epoch-N params with epoch-(N-1) loop state — which
+        # would silently replay an epoch on already-trained params.
+        # resume.json is a human-readable mirror, not the source of truth.
+        tree["resume_meta"] = payload
 
         def write():
             save_pytree(path, tree)
-            (self.model_dir / "resume.json").write_text(payload)
+            _write_text_atomic(self.model_dir / "resume.json", payload)
 
         self._submit(write)
         return path
 
     def load_resume_meta(self) -> Optional[Dict[str, Any]]:
         self.wait()
+        rolling = self.model_dir / "last.ckpt"
+        if not rolling.exists():
+            return None
+        raw = load_pytree(rolling)
+        if isinstance(raw, dict) and "resume_meta" in raw:
+            blob = raw["resume_meta"]
+            if isinstance(blob, bytes):
+                blob = blob.decode()
+            return json.loads(blob)
+        # pre-embedded-meta checkpoints: fall back to the sidecar
         meta = self.model_dir / "resume.json"
-        if not meta.exists() or not (self.model_dir / "last.ckpt").exists():
+        if not meta.exists():
             return None
         return json.loads(meta.read_text())
 
@@ -203,13 +247,22 @@ class CheckpointManager:
             "step": 0,
         }
         raw = load_pytree(path)
+        if isinstance(raw, dict):
+            raw.pop("resume_meta", None)  # loop meta rides in last.ckpt
         tree = serialization.from_state_dict(
             target, adapt_lstm_layout(raw, serialization.to_state_dict(target))
         )
+        import jax.numpy as jnp
+
+        # restore the step counter too — otherwise a resumed run's later
+        # checkpoints record step counts restarting from 0 and diverge from
+        # an uninterrupted run's artifacts
+        step = jnp.asarray(tree.get("step", 0), dtype=jnp.asarray(state.step).dtype)
         return state.replace(
             params=tree["params"],
             batch_stats=tree["batch_stats"],
             opt_state=tree["opt_state"],
+            step=step,
         )
 
 

@@ -124,15 +124,17 @@ def _apply_compilation_cache() -> None:
     the same config skip recompilation. No-op when the var is unset or the
     cache is already configured."""
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
-    if cache_dir and not jax.config.jax_compilation_cache_dir:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update(
-            "jax_persistent_cache_min_compile_time_secs",
-            float(os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", 0.0)),
-        )
-        jax.config.update(
-            "jax_persistent_cache_min_entry_size_bytes",
-            int(os.environ.get("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", -1)),
+    if cache_dir:
+        from mmtpu.utils import compile_cache
+
+        compile_cache.enable(
+            cache_dir,
+            min_compile_time_secs=float(
+                os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", 0.0)
+            ),
+            min_entry_size_bytes=int(
+                os.environ.get("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", -1)
+            ),
         )
 
 

@@ -59,6 +59,15 @@ def route(cfg, args, json_nesting: str = "reference") -> int:
                     f"{dp} was requested; falling back to sequential CV "
                     "on the mesh"
                 )
+            elif getattr(args, "resume", False):
+                # the stacked engine has no mid-run resume point; honoring
+                # --resume (continue the interrupted run) matters more than
+                # stacking, so fall back to sequential CV which resumes
+                # each fold from its rolling last.ckpt
+                console.warning(
+                    "--resume is not supported by --stacked-folds; "
+                    "falling back to sequential CV, which resumes per fold"
+                )
             else:
                 from mmtpu.cli import stacked_cv
 

@@ -421,7 +421,18 @@ class TrainLoop:
         if self.metrics_path is not None:
             fp = self.metrics_path / "epoch_metrics.json"
             if fp.exists():
-                self.epoch_metrics = json.loads(fp.read_text())
+                # drop entries newer than the resume point (a kill between
+                # the epoch-metrics write and the resume-point write leaves
+                # one ahead) and any trailing {"test": ...} record — the
+                # resumed run re-appends both, so keeping them would
+                # duplicate epochs in the output JSON
+                entries = json.loads(fp.read_text())
+                resume_epoch = int(meta["epoch"])
+                self.epoch_metrics = [
+                    e for e in entries
+                    if isinstance(e, dict) and "epoch" in e
+                    and int(e["epoch"]) <= resume_epoch
+                ]
         epoch = int(meta["epoch"])
         logger.info(f"resuming from epoch {epoch} ({self.ckpt.model_dir})")
         console.print(f"resuming from epoch {epoch}")

@@ -236,6 +236,14 @@ class LRController:
         self._scale = 1.0
 
     def step(self, metric: Optional[float] = None) -> float:
+        # _scale always holds the last-applied scale so the resume point
+        # (loop._save_resume_point) records what the optimizer is actually
+        # running at — not just for plateau, which updates it internally.
+        scale = self._compute(metric)
+        self._scale = float(scale)
+        return scale
+
+    def _compute(self, metric: Optional[float] = None) -> float:
         if self.kind is None:
             return 1.0
         k = self.kind

@@ -24,8 +24,9 @@ def host_cache_dir(root: str) -> str:
     try:
         with open("/proc/cpuinfo") as f:
             lines = f.read().splitlines()
+        # x86 spells the feature list "flags"; aarch64 spells it "Features"
         fingerprint = next(
-            (ln for ln in lines if ln.startswith("flags")),
+            (ln for ln in lines if ln.startswith(("flags", "Features"))),
             platform.processor() or platform.machine(),
         )
     except OSError:
@@ -34,7 +35,11 @@ def host_cache_dir(root: str) -> str:
     return os.path.join(root, ".cache", "jax", key)
 
 
-def enable(cache_dir: str) -> None:
+def enable(
+    cache_dir: str,
+    min_compile_time_secs: float = 0.0,
+    min_entry_size_bytes: int = -1,
+) -> None:
     """Point jax's persistent compile cache at `cache_dir` (idempotent:
     no-op if a cache dir is already configured)."""
     import jax
@@ -43,8 +48,12 @@ def enable(cache_dir: str) -> None:
         return
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs", min_compile_time_secs
+    )
+    jax.config.update(
+        "jax_persistent_cache_min_entry_size_bytes", min_entry_size_bytes
+    )
 
 
 def enable_for_backend(root: str) -> None:

@@ -191,6 +191,67 @@ def test_async_submit_surfaces_writer_errors(tmp_path):
         mgr.wait()
 
 
+def test_wait_joins_all_futures_before_raising(tmp_path):
+    """wait() must join EVERY queued write even when an early one failed —
+    otherwise still-running writes race subsequent file reads and later
+    errors are silently dropped."""
+    import threading
+
+    mgr = CheckpointManager(tmp_path, async_io=True)
+    finished = threading.Event()
+
+    def boom():
+        raise RuntimeError("disk full")
+
+    def slow_ok():
+        import time
+
+        time.sleep(0.2)
+        finished.set()
+
+    mgr._pending.append(mgr._executor.submit(boom))
+    mgr._pending.append(mgr._executor.submit(slow_ok))
+    with pytest.raises(RuntimeError, match="disk full"):
+        mgr.wait()
+    assert finished.is_set()  # the later write was joined, not abandoned
+    assert mgr._pending == []
+
+
+def test_rolling_writes_are_atomic_and_self_contained(tmp_path):
+    """last.ckpt lands via tmp+rename and carries the loop meta inside it,
+    so a preemption can never pair params with mismatched meta; a stale
+    sidecar from an older writer must lose to the embedded copy."""
+    x, lengths = _data()
+    model, variables = _make("fused", 7, x, lengths)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=optax.adam(1e-3)
+    )
+    mgr = CheckpointManager(tmp_path)
+    mgr.save_rolling(state, epoch=5, meta={"marker": "a"})
+    assert not list(tmp_path.glob("*.tmp"))  # tmp renamed away
+    # stale sidecar (as if a kill landed between the two writes of an old
+    # two-file writer) — the embedded meta must win
+    (tmp_path / "resume.json").write_text('{"epoch": 4, "marker": "stale"}')
+    assert mgr.load_resume_meta() == {"epoch": 5, "marker": "a"}
+
+
+def test_load_checkpoint_restores_step_counter(tmp_path):
+    x, lengths = _data()
+    model, variables = _make("fused", 7, x, lengths)
+    tx = optax.adam(1e-3)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx
+    )
+    state = state.replace(step=jnp.asarray(42, dtype=jnp.asarray(state.step).dtype))
+    mgr = CheckpointManager(tmp_path)
+    mgr.save_rolling(state, epoch=1)
+    fresh = TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx
+    )
+    restored = mgr.load_checkpoint(fresh, "last")
+    assert int(np.asarray(restored.step)) == 42
+
+
 def test_host_cache_dir_is_host_keyed(tmp_path):
     """Cache dir embeds a CPU fingerprint so another machine's XLA:CPU AOT
     entries are never loaded (feature mismatch risks SIGILL)."""

@@ -25,7 +25,8 @@ from mmtpu.train.step import ClassificationTask
 
 def build_loop(device_resident: str, mesh=None, eval_batch_factor: int = 1,
                ckpt_dir=None, epochs: int = 2, metrics_path=None,
-               resume: bool = False, dropout: float = 0.0) -> TrainLoop:
+               resume: bool = False, dropout: float = 0.0,
+               lr_kind=None, lr_args=None) -> TrainLoop:
     ds_tr = SyntheticAVMNIST(
         split="train", num_samples=96, selected_patterns=["ai"], seed=1
     )
@@ -69,6 +70,8 @@ def build_loop(device_resident: str, mesh=None, eval_batch_factor: int = 1,
         metrics={"accuracy": MetricDef(function="sklearn.metrics.accuracy_score")},
         groups={"classification": ["accuracy"]},
     )
+    from mmtpu.train.optim import LRController
+
     return TrainLoop(
         task=task, state=state, loaders=loaders, recorder=MetricRecorder(mc),
         checkpoint_manager=CheckpointManager(ckpt_dir or tempfile.mkdtemp()),
@@ -76,6 +79,9 @@ def build_loop(device_resident: str, mesh=None, eval_batch_factor: int = 1,
         device_resident=device_resident, mesh=mesh,
         eval_batch_factor=eval_batch_factor,
         metrics_path=metrics_path, resume=resume,
+        lr_controller=(
+            LRController(lr_kind, lr_args or {}, 1e-3) if lr_kind else None
+        ),
     )
 
 
@@ -178,11 +184,13 @@ class TestResume:
     RNG stream, early-stopping state (beyond the reference, which has no
     loop resume; SURVEY §5.4)."""
 
-    def _run(self, tmp_path, mode, tag, epochs, resume=False, dropout=0.5):
+    def _run(self, tmp_path, mode, tag, epochs, resume=False, dropout=0.5,
+             **kw):
         loop = build_loop(
             mode, ckpt_dir=tmp_path / f"ckpt_{tag}", epochs=epochs,
             metrics_path=tmp_path / f"metrics_{tag}", resume=resume,
             dropout=dropout,  # dropout makes RNG-stream divergence visible
+            **kw,
         )
         loop.run()
         return loop
@@ -196,6 +204,9 @@ class TestResume:
             ),
             jax.device_get(a.state.params), jax.device_get(b.state.params),
         )
+        # step counter continues across the resume — later checkpoints from
+        # both runs must record identical step counts
+        assert int(np.asarray(a.state.step)) == int(np.asarray(b.state.step))
         def strip_timing(entries):
             return [
                 {k: ({kk: vv for kk, vv in v.items() if kk != "timing"}
@@ -224,6 +235,56 @@ class TestResume:
         )
         resumed.run()
         self._assert_same(full, resumed)
+
+    def test_resumed_equals_uninterrupted_with_decay_lr(self, tmp_path):
+        """Regression: non-plateau schedulers (exponential here) never wrote
+        LRController._scale, so the resume point stored scale=1.0 and the
+        first resumed epoch silently trained at full base LR."""
+        lr = dict(lr_kind="exponential", lr_args={"gamma": 0.5})
+        full = self._run(tmp_path, "off", "full_lr", epochs=4, **lr)
+        part = self._run(tmp_path, "off", "part_lr", epochs=2, **lr)
+        resumed = build_loop(
+            "off", ckpt_dir=part.ckpt.model_dir, epochs=4,
+            metrics_path=part.metrics_path, resume=True, dropout=0.5, **lr,
+        )
+        resumed.run()
+        self._assert_same(full, resumed)
+
+    def test_resume_meta_rides_inside_last_ckpt(self, tmp_path):
+        """The loop meta is embedded in last.ckpt (one atomic rename), so
+        params and meta can never desynchronize; resume.json is only a
+        human-readable mirror and its loss must not break resume."""
+        full = self._run(tmp_path, "off", "full_emb", epochs=4)
+        part = self._run(tmp_path, "off", "part_emb", epochs=2)
+        (part.ckpt.model_dir / "resume.json").unlink()
+        resumed = build_loop(
+            "off", ckpt_dir=part.ckpt.model_dir, epochs=4,
+            metrics_path=part.metrics_path, resume=True, dropout=0.5,
+        )
+        resumed.run()
+        self._assert_same(full, resumed)
+
+    def test_resume_truncates_newer_epoch_metrics(self, tmp_path):
+        """A kill between the epoch-metrics write and the resume-point write
+        leaves epoch_metrics.json one entry ahead (plus possibly a trailing
+        test record); resume must drop those instead of duplicating them."""
+        import json
+
+        full = self._run(tmp_path, "off", "full_tr", epochs=4)
+        part = self._run(tmp_path, "off", "part_tr", epochs=2)
+        fp = part.metrics_path / "epoch_metrics.json"
+        entries = json.loads(fp.read_text())
+        entries.append({**entries[-1], "epoch": 3})  # orphaned epoch-3 write
+        entries.append({"test": {"loss": 0.0}})      # stale test record
+        fp.write_text(json.dumps(entries))
+        resumed = build_loop(
+            "off", ckpt_dir=part.ckpt.model_dir, epochs=4,
+            metrics_path=part.metrics_path, resume=True, dropout=0.5,
+        )
+        resumed.run()
+        self._assert_same(full, resumed)
+        epochs = [e["epoch"] for e in resumed.epoch_metrics]
+        assert epochs == [1, 2, 3, 4]  # no duplicates, no stale records
 
     def test_resume_with_completed_run_trains_no_more(self, tmp_path):
         part = self._run(tmp_path, "off", "done", epochs=2)

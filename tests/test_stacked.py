@@ -280,6 +280,21 @@ def test_route_stacked_with_dp_falls_back_to_sequential(monkeypatch):
     assert rec.calls == [("sequential", {"json_nesting": "reference"})]
 
 
+def test_route_stacked_with_resume_falls_back_to_sequential(monkeypatch):
+    """--stacked-folds + --resume: continuation wins — sequential CV runs
+    (the stacked engine has no mid-run resume point), instead of silently
+    restarting every fold from scratch."""
+    from types import SimpleNamespace
+
+    from mmtpu.cli import train_multimodal as tm
+
+    rec = _Recorder()
+    monkeypatch.setattr(tm, "main_cross_validation", rec("sequential"))
+    args = SimpleNamespace(stacked_folds=True, data_parallel=None, resume=True)
+    assert tm.route(_route_cfg(dp=None), args) == 0
+    assert rec.calls == [("sequential", {"json_nesting": "reference"})]
+
+
 def test_route_stacked_no_dp_uses_stacked_engine(monkeypatch):
     from types import SimpleNamespace
 
