@@ -57,14 +57,13 @@ def standard_arg_parser(description: str) -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--eval-batch-factor", "--eval_batch_factor",
-        dest="eval_batch_factor", type=int, default=1, metavar="N",
+        dest="eval_batch_factor", type=int, default=None, metavar="N",
         help="Device-resident eval only: fuse the patterns x samples eval "
-             "product into N-x larger batches. Per-sample predictions and "
-             "pattern metrics are identical; the epoch loss (mean of "
-             "per-step means) can shift slightly when padded tail steps "
-             "regroup, which can move best-epoch selection under "
-             "save_metric=loss. More MXU work per dispatch at small "
-             "batch sizes.",
+             "product into N-x larger batches — more MXU work per dispatch "
+             "at small batch sizes. Bit-identical to unfused eval at any N "
+             "(losses are reduced per original batch inside the fused "
+             "dispatch). Default: auto — grow fused batches toward ~1024 "
+             "rows. Pass 1 to disable fusion.",
     )
     p.add_argument(
         "--resume", action="store_true",

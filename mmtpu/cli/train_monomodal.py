@@ -101,7 +101,7 @@ def main(argv=None) -> int:
         # (reference records update_group(modality=str(key)), :242-247)
         vocab_override=[str(modality)] * len(any_loader.pattern_vocab),
         metrics_postprocess=add_plain_accuracy,
-        eval_batch_factor=getattr(args, "eval_batch_factor", 1),
+        eval_batch_factor=getattr(args, "eval_batch_factor", None),
         resume=getattr(args, "resume", False),
     )
 

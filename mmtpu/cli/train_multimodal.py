@@ -148,7 +148,7 @@ def run_single(cfg, args, cv_no=None, json_nesting="reference", collect=None) ->
         monitor=common.make_monitor(cfg),
         json_nesting=json_nesting,
         run_id=args.run_id,
-        eval_batch_factor=getattr(args, "eval_batch_factor", 1),
+        eval_batch_factor=getattr(args, "eval_batch_factor", None),
         resume=getattr(args, "resume", False),
     )
 

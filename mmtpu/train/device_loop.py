@@ -166,8 +166,16 @@ def make_scan_train_epoch(
 
 
 def make_scan_eval_epoch(
-    task: ClassificationTask, data: DeviceResidentData, mesh=None
+    task: ClassificationTask, data: DeviceResidentData, mesh=None,
+    sub_batches: int = 1,
 ):
+    """One-dispatch eval epoch. `sub_batches` > 1 fuses that many
+    loader-sized batches into each scan step (fewer, larger MXU dispatches
+    — the eval product is patterns × samples, the workload multiplier)
+    while staying BIT-IDENTICAL to unfused eval: the per-sample losses are
+    reduced per ORIGINAL batch (vmap over the sub-batch axis), so the
+    epoch's mean-of-batch-means is unchanged at any factor, tail included.
+    Metrics are per-sample and unaffected by batching."""
     del mesh  # SPMD comes from operand shardings (see make_scan_train_epoch)
 
     def epoch_fn(state: TrainState, data: DeviceResidentData,
@@ -176,7 +184,21 @@ def make_scan_eval_epoch(
             batch = _gather_batch(data, xs)
             logits = task.apply(state.variables, batch, train=False)
             sample_mask = batch.get("sample_mask")
-            loss = task.loss(logits, batch, sample_mask=sample_mask)
+            if sub_batches > 1:
+                def sub(t):
+                    return t.reshape(
+                        (sub_batches, t.shape[0] // sub_batches) + t.shape[1:]
+                    )
+
+                loss = jax.vmap(
+                    lambda lg, b, m: task.loss(lg, b, sample_mask=m)
+                )(
+                    jax.tree_util.tree_map(sub, logits),
+                    jax.tree_util.tree_map(sub, batch),
+                    sub(sample_mask),
+                )  # (sub_batches,) per-original-batch means
+            else:
+                loss = task.loss(logits, batch, sample_mask=sample_mask)
             ys = {
                 "loss": loss,
                 "preds": task.predictions(logits),

@@ -72,6 +72,19 @@ def split_epoch_entry(loss: float, metrics: Dict[str, Any], elapsed: float,
     }
 
 
+def _auto_eval_factor(
+    batch_size: int, eval_total: int, target_rows: int = 1024
+) -> int:
+    """Fused-eval batch factor: grow per-dispatch rows toward ~target_rows
+    (the measured high-MFU regime on the bench sweep) without exceeding
+    the epoch. Capped at 8× so activation memory stays bounded."""
+    if batch_size <= 0:
+        return 1
+    factor = max(1, min(8, target_rows // batch_size))
+    steps = -(-eval_total // batch_size)
+    return max(1, min(factor, steps))
+
+
 class TrainLoop:
     def __init__(
         self,
@@ -98,7 +111,7 @@ class TrainLoop:
         run_id: Optional[int] = None,
         vocab_override: Optional[List[str]] = None,
         metrics_postprocess: Optional[Callable[[Dict[str, Any]], Dict[str, Any]]] = None,
-        eval_batch_factor: int = 1,
+        eval_batch_factor: Optional[int] = None,
         resume: bool = False,
         resume_save: bool = True,
     ) -> None:
@@ -176,16 +189,25 @@ class TrainLoop:
                     continue  # batch not shardable over the data axis
                 data = dl.DeviceResidentData.upload(ds, mesh=mesh)
                 # eval visits the (patterns x samples) product; fusing it
-                # into larger batches multiplies the work per dispatch
-                # (predictions/metrics identical — only the mean-of-batch-
-                # means loss weighting can shift on tail batches)
-                bs = loader.batch_size * (
-                    1 if split == "train" else max(1, int(eval_batch_factor))
-                )
+                # into larger batches multiplies the work per dispatch and
+                # is bit-identical at any factor (losses reduced per
+                # ORIGINAL batch inside the fused dispatch — device_loop.
+                # make_scan_eval_epoch). Factor None = auto: grow fused
+                # batches toward the measured high-MFU regime (~1024 rows).
+                if split == "train":
+                    factor = 1
+                elif eval_batch_factor is None:
+                    total = ds.num_samples * len(ds.pattern_vocab())
+                    factor = _auto_eval_factor(loader.batch_size, total)
+                else:
+                    factor = max(1, int(eval_batch_factor))
+                bs = loader.batch_size * factor
                 fn = (
                     dl.make_scan_train_epoch(task, data, mesh=mesh)
                     if split == "train"
-                    else dl.make_scan_eval_epoch(task, data, mesh=mesh)
+                    else dl.make_scan_eval_epoch(
+                        task, data, mesh=mesh, sub_batches=factor
+                    )
                 )
                 self._scan[split] = (fn, ds, bs,
                                      getattr(loader, "shuffle", False),
@@ -250,11 +272,13 @@ class TrainLoop:
             flat["preds"], flat["labels"], flat["pattern_id"], vocab,
             flat.get("sample_mask"),
         )
-        mask = np.reshape(outs["sample_mask"], (outs["loss"].shape[0], -1))
-        step_w = mask.mean(axis=1)
-        return float(
-            np.sum(outs["loss"] * (step_w > 0)) / max(np.sum(step_w > 0), 1)
-        )
+        # mean of per-batch means over batches with any real sample. The
+        # fused eval path emits (steps, factor) per-ORIGINAL-batch losses;
+        # train and unfused eval emit (steps,) — flatten handles both.
+        loss = np.reshape(outs["loss"], (-1,))
+        mask = np.reshape(outs["sample_mask"], (loss.shape[0], -1))
+        w = mask.max(axis=1) > 0
+        return float(np.sum(np.where(w, loss, 0.0)) / max(np.sum(w), 1))
 
     def train_epoch(self, epoch: int) -> float:
         if "train" in self._scan:

@@ -23,15 +23,16 @@ from mmtpu.train.state import TrainState
 from mmtpu.train.step import ClassificationTask
 
 
-def build_loop(device_resident: str, mesh=None, eval_batch_factor: int = 1,
+def build_loop(device_resident: str, mesh=None, eval_batch_factor=1,
                ckpt_dir=None, epochs: int = 2, metrics_path=None,
                resume: bool = False, dropout: float = 0.0,
-               lr_kind=None, lr_args=None) -> TrainLoop:
+               lr_kind=None, lr_args=None, val_samples: int = 32) -> TrainLoop:
     ds_tr = SyntheticAVMNIST(
         split="train", num_samples=96, selected_patterns=["ai"], seed=1
     )
     ds_va = SyntheticAVMNIST(
-        split="valid", num_samples=32, selected_patterns=["ai", "a", "i"], seed=1
+        split="valid", num_samples=val_samples,
+        selected_patterns=["ai", "a", "i"], seed=1,
     )
     loaders = {
         "train": BatchLoader(ds_tr, 32, shuffle=True, seed=5, prefetch=0),
@@ -312,17 +313,35 @@ class TestResume:
         assert len(loop.epoch_metrics) == 1
 
 
-def test_eval_batch_factor_identical_metrics():
+def test_eval_batch_factor_bit_identical_with_tail():
     """Fusing the patterns x samples eval product into larger scan batches
-    (--eval-batch-factor) leaves metrics identical — predictions cover the
-    same (sample, pattern) set; only the per-dispatch batch grows."""
-    base = build_loop("on")
+    (--eval-batch-factor) is bit-identical: predictions cover the same
+    (sample, pattern) set AND the epoch loss is unchanged — the fused
+    dispatch reduces losses per ORIGINAL batch, so the mean-of-batch-means
+    is preserved even across a partial tail batch (120 eval rows at B=32
+    → 4 original batches, the last 24 rows)."""
+    base = build_loop("on", val_samples=40)  # 40 x 3 patterns = 120 rows
     base.run()
-    fused = build_loop("on", eval_batch_factor=3)
+    fused = build_loop("on", eval_batch_factor=3, val_samples=40)
     assert fused._scan["validation"][2] == 96  # 32 * 3
     assert fused._scan["train"][2] == 32  # train batch untouched
     fused.run()
-    assert (
-        base.epoch_metrics[-1]["validation"].get("metrics")
-        == fused.epoch_metrics[-1]["validation"].get("metrics")
-    )
+    for a, b in zip(base.epoch_metrics, fused.epoch_metrics):
+        assert a["validation"]["loss"] == b["validation"]["loss"]
+        assert (
+            a["validation"].get("metrics") == b["validation"].get("metrics")
+        )
+
+
+def test_eval_batch_factor_auto():
+    """Factor None = auto: fused eval batches grow toward ~1024 rows,
+    capped by the epoch (here 3 steps of 32 → factor 3)."""
+    from mmtpu.train.loop import _auto_eval_factor
+
+    assert _auto_eval_factor(128, 30000) == 8      # 8x cap
+    assert _auto_eval_factor(512, 30000) == 2      # 1024-row target
+    assert _auto_eval_factor(1024, 30000) == 1     # already large
+    assert _auto_eval_factor(32, 96) == 3          # capped by epoch steps
+    loop = build_loop("on", eval_batch_factor=None)
+    assert loop._scan["validation"][2] == 96  # 32 x auto-factor 3
+    assert loop._scan["train"][2] == 32
