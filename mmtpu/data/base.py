@@ -99,6 +99,15 @@ class MultimodalArrayDataset:
         bad = set(patterns) - valid
         if bad:
             raise ValueError(f"Invalid patterns: {bad}; valid: {sorted(valid)}")
+        # a selected pattern must also have mask probabilities — otherwise
+        # the failure surfaces as a KeyError deep in batch assembly
+        # (mask_stack) instead of at construction
+        missing = set(patterns) - set(self.missing_patterns)
+        if missing:
+            raise ValueError(
+                f"selected_patterns {sorted(missing)} have no entry in "
+                f"missing_patterns {sorted(self.missing_patterns)}"
+            )
         return list(patterns)
 
     # -- mask synthesis --------------------------------------------------------
@@ -109,6 +118,7 @@ class MultimodalArrayDataset:
         rng = np.random.default_rng(self.seed)
         mods = list(self.AVAILABLE_MODALITIES.values())
         self.masks = {}
+        self._mask_cache = {}  # stale stacks must not outlive the masks
         for pattern, probs in self.missing_patterns.items():
             keep = [float(probs.get(m, 0.0)) for m in mods]
             mat = create_missing_mask(len(mods), n, keep, rng=rng)

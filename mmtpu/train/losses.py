@@ -98,16 +98,25 @@ def bce(probs, targets, sample_mask=None):
 def bce_with_logits(logits, targets, pos_weight=None, sample_mask=None):
     logits = _as_float(logits)
     t = _as_float(targets)
-    losses = optax.sigmoid_binary_cross_entropy(logits, t)
     if pos_weight is not None:
-        w = t * jnp.asarray(pos_weight) + (1.0 - t)
-        losses = losses * w
+        # torch semantics: pos_weight scales ONLY the positive log term,
+        # -[pw·t·log σ + (1-t)·log(1-σ)] — not the whole per-element loss
+        # (the two differ for soft targets t ∉ {0, 1})
+        losses = -(
+            jnp.asarray(pos_weight) * t * jax.nn.log_sigmoid(logits)
+            + (1.0 - t) * jax.nn.log_sigmoid(-logits)
+        )
+    else:
+        losses = optax.sigmoid_binary_cross_entropy(logits, t)
     return _masked_reduce(losses, sample_mask)
 
 
 def kl_div(log_preds, targets, sample_mask=None):
+    # torch KLDivLoss() default reduction='mean' averages over ALL elements
+    # (sum/numel), not per-sample sums — keep the elementwise losses and let
+    # _masked_reduce mean over the class axis then the batch.
     t = _as_float(targets)
-    per = jnp.sum(t * (jnp.where(t > 0, jnp.log(t), 0.0) - log_preds), axis=-1)
+    per = t * (jnp.where(t > 0, jnp.log(t), 0.0) - log_preds)
     return _masked_reduce(per, sample_mask)
 
 

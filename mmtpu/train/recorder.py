@@ -64,6 +64,16 @@ class MetricRecorder:
     def update_group(self, group_name, predictions, targets, modality) -> None:
         if group_name not in self.config.groups:
             raise ValueError(f"Unknown metric group: {group_name}")
+        # fail at update time like the reference (:121-122) — a shape
+        # mismatch caught here names the offending step; caught at epoch-end
+        # concatenation it would cost the whole epoch's metrics
+        p_shape = np.shape(predictions)
+        t_shape = np.shape(targets)
+        if p_shape != t_shape:
+            raise ValueError(
+                f"Shape mismatch between predictions {p_shape} "
+                f"and targets {t_shape}"
+            )
         self.group_data[group_name][str(modality)].append((predictions, targets))
 
     def update_group_all(self, group_name, predictions, targets, m_types) -> None:
@@ -135,8 +145,18 @@ class MetricRecorder:
         for modality, data in self.group_data[group_name].items():
             if not data:
                 continue
-            all_preds = np.concatenate([np.asarray(p) for p, _ in data], axis=0)
-            all_targets = np.concatenate([np.asarray(t) for _, t in data], axis=0)
+            try:
+                all_preds = np.concatenate(
+                    [np.asarray(p) for p, _ in data], axis=0
+                )
+                all_targets = np.concatenate(
+                    [np.asarray(t) for _, t in data], axis=0
+                )
+            except ValueError as e:  # reference :179-184 — skip, don't abort
+                logger.error(
+                    f"Error concatenating data for modality {modality}: {e}"
+                )
+                continue
             # Reference key naming (:194): upper-case, strip 'z'.
             pattern_key = modality.replace("z", "").upper() if modality else ""
 
@@ -177,21 +197,30 @@ class MetricRecorder:
     def reset(self) -> None:
         self.group_data.clear()
         self._deferred.clear()
+        self.current_results.clear()  # reference reset() clears it too (:275)
 
     # -- tensorboard -----------------------------------------------------------
 
     def _log_tensorboard(self, results, group_name, epoch) -> None:
+        # Reference parity (_log_to_tensorboard :236-259): keys containing
+        # 'loss' are excluded (the driver logs its own loss scalars),
+        # tb_record_only patterns are ANCHORED (re.match), and tags are
+        # '{group}_{key}'.
         import re
 
         for key, value in results.items():
             if isinstance(value, (list, dict)):
                 continue
+            if "loss" in key:
+                continue
             if self.tb_record_only and not any(
-                re.search(p, key) for p in self.tb_record_only
+                re.match(p, key) for p in self.tb_record_only
             ):
                 continue
             try:
-                self.writer.add_scalar(f"{group_name}/{key}", float(value), epoch)
+                self.writer.add_scalar(
+                    f"{group_name}_{key}", float(value), epoch or 0
+                )
             except Exception:  # non-scalar metric values
                 pass
 

@@ -37,6 +37,28 @@ class TestMasks:
         assert not ds.masks["a"][Modality.IMAGE].any()
         assert ds.masks["a"][Modality.AUDIO].all()
 
+    def test_selected_pattern_without_mask_probs_fails_at_init(self):
+        """A selected pattern with no missing_patterns entry must raise at
+        construction, not as a KeyError deep in batch assembly."""
+        with pytest.raises(ValueError, match="no entry in missing_patterns"):
+            make_ds(
+                patterns=["ai", "a"],
+                missing={"ai": {Modality.AUDIO: 1.0, Modality.IMAGE: 1.0}},
+            )
+
+    def test_mask_stack_cache_invalidated_on_reinit(self):
+        missing = {"ai": {Modality.AUDIO: 0.5, Modality.IMAGE: 0.5}}
+        ds = make_ds(patterns=["ai"], missing=missing, seed=1)
+        before = ds.mask_stack(Modality.AUDIO).copy()
+        ds.seed = 2
+        ds.initialise_missing_masks()
+        after = ds.mask_stack(Modality.AUDIO)
+        expected = np.stack(
+            [ds.masks[p][Modality.AUDIO] for p in ds.selected_patterns], axis=0
+        )
+        np.testing.assert_array_equal(after, expected.astype(after.dtype))
+        assert not np.array_equal(before, after)  # stale stack not served
+
 
 class TestLoader:
     def test_eval_length_is_samples_times_patterns(self):

@@ -175,6 +175,57 @@ class TestRecorder:
         res = rec.calculate_metrics_for_group("classification")
         assert "accuracy_AV" in res  # 'z' stripped, upper-cased
 
+    def test_shape_mismatch_raises_at_update(self):
+        """Reference parity (:121-122): a preds/targets shape mismatch fails
+        at update time, naming the offending step — not at epoch end."""
+        import pytest
+
+        rec = make_recorder()
+        with pytest.raises(ValueError, match="Shape mismatch"):
+            rec.update_group(
+                "classification", np.zeros((4, 2)), np.zeros(4), "ai"
+            )
+
+    def test_concat_mismatch_skips_modality_not_epoch(self):
+        """Reference parity (:179-184): inconsistent shapes ACROSS updates
+        for one modality drop that modality's metrics, not the whole
+        epoch's."""
+        rec = make_recorder()
+        rec.update_group("classification", np.zeros((2, 3)), np.zeros((2, 3)), "a")
+        rec.update_group("classification", np.zeros((2, 5)), np.zeros((2, 5)), "a")
+        rec.update_group("classification", np.array([1, 0]), np.array([1, 0]), "ai")
+        res = rec.calculate_metrics_for_group("classification")
+        assert res["accuracy_AI"] == 1.0  # healthy modality survives
+        assert not any(k.endswith("_A") for k in res)
+
+    def test_reset_clears_current_results(self):
+        rec = make_recorder()
+        rec.update_group("classification", np.array([1]), np.array([1]), "ai")
+        rec.calculate_metrics_for_group("classification")
+        assert rec.current_results
+        rec.reset()
+        assert rec.current_results == {}
+
+    def test_tensorboard_excludes_loss_and_anchors_filters(self):
+        """Reference parity (_log_to_tensorboard :236-259): keys containing
+        'loss' are never logged, tb_record_only patterns are anchored
+        (re.match), tags are '{group}_{key}'."""
+        rec = make_recorder()
+        logged = []
+        rec.writer = type(
+            "W", (), {"add_scalar": lambda self, tag, v, step: logged.append(tag)}
+        )()
+        rec.tb_record_only = ["accuracy"]
+        rec.update_group("classification", np.array([1, 0]), np.array([1, 0]), "ai")
+        res = rec.calculate_metrics_for_group("classification", epoch=1, loss=0.5)
+        assert "loss" in res  # in results…
+        assert logged == ["classification_accuracy_AI"]  # …but never in TB
+        # anchored: a substring-only pattern must NOT match
+        logged.clear()
+        rec.tb_record_only = ["ccuracy"]
+        rec.calculate_metrics_for_group("classification", epoch=2)
+        assert logged == []
+
 
 class TestSteps:
     def test_tiny_model_learns(self):
@@ -249,6 +300,43 @@ class TestSteps:
         w = jnp.asarray(cls_w)[labels] * mask
         expected = 3.0 * float(jnp.sum(per * w) / jnp.sum(w))
         np.testing.assert_allclose(float(out["loss"]), expected, rtol=1e-5)
+
+
+class TestCriterionTorchParity:
+    """Criteria whose reductions/weighting have subtle torch semantics:
+    values must match the torch modules the reference resolves
+    (experiment_utils/loss.py:37-80) on the same inputs."""
+
+    def test_kl_div_matches_torch_mean_reduction(self):
+        import torch
+
+        from mmtpu.train.losses import kl_div
+
+        rng = np.random.default_rng(0)
+        logits = rng.normal(size=(5, 7)).astype(np.float32)
+        log_preds = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+        t = rng.dirichlet(np.ones(7), size=5).astype(np.float32)
+        want = torch.nn.KLDivLoss()(  # default reduction='mean' = sum/numel
+            torch.from_numpy(np.asarray(log_preds)), torch.from_numpy(t)
+        ).item()
+        got = float(kl_div(log_preds, jnp.asarray(t)))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_bce_pos_weight_matches_torch_on_soft_targets(self):
+        import torch
+
+        from mmtpu.train.losses import bce_with_logits
+
+        rng = np.random.default_rng(1)
+        logits = rng.normal(size=(6, 4)).astype(np.float32)
+        t = rng.uniform(size=(6, 4)).astype(np.float32)  # soft labels
+        pw = np.array([3.0, 1.0, 0.5, 2.0], np.float32)
+        want = torch.nn.BCEWithLogitsLoss(pos_weight=torch.from_numpy(pw))(
+            torch.from_numpy(logits), torch.from_numpy(t)
+        ).item()
+        got = float(bce_with_logits(jnp.asarray(logits), jnp.asarray(t),
+                                    pos_weight=jnp.asarray(pw)))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
 class TestEarlyStopping:
