@@ -181,10 +181,14 @@ class MonomodalTask(ClassificationTask):
     """Reads the raw (unmasked) modality."""
 
     def apply(self, variables, batch, *, train: bool, rngs=None, mutable=False):
+        from mmtpu.models.norm import batch_mask
+
         inputs = [batch[k] for k in self.input_keys]
-        return self.model.apply(
-            variables, *inputs, train=train, rngs=rngs, mutable=mutable
-        )
+        # padded tail rows stay out of BatchNorm statistics (models/norm)
+        with batch_mask(batch.get("sample_mask")):
+            return self.model.apply(
+                variables, *inputs, train=train, rngs=rngs, mutable=mutable
+            )
 
 
 if __name__ == "__main__":

@@ -67,8 +67,13 @@ class BatchLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         it = self._epoch_batches()
         if self.prefetch <= 0:
-            yield from it
-            self.epoch += 1
+            try:
+                yield from it
+            finally:
+                # like the prefetching path: an abandoned epoch still
+                # advances the counter so a retry gets a fresh
+                # shuffle/pattern schedule
+                self.epoch += 1
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
@@ -171,8 +176,9 @@ class BatchLoader:
 
             `m` is the dataset-cached uint8 stack (binary keep masks), so
             the native path does no per-call dtype conversion; only the
-            (batch,) output is allocated here."""
-            if use_native:
+            (batch,) output is allocated here. Same size gate as gather():
+            below it the ctypes round-trip costs more than numpy indexing."""
+            if use_native and idx_pad.size * 4 >= NATIVE_MIN_GATHER_BYTES:
                 out = native.gather_mask(m, pids, idx_pad)
                 if out is not None:
                     return out

@@ -18,6 +18,8 @@ from typing import Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from mmtpu.models.norm import batch_norm
+
 
 class _EncoderStack(nn.Module):
     layers: Sequence[int]
@@ -31,10 +33,7 @@ class _EncoderStack(nn.Module):
             if i < len(self.layers) - 1:  # last layer stays bare
                 x = nn.leaky_relu(x)
                 if self.use_bn:
-                    x = nn.BatchNorm(
-                        use_running_average=not train, momentum=0.9,
-                        epsilon=1e-5, name=f"bn_{i}",
-                    )(x)
+                    x = batch_norm(x, train=train, name=f"bn_{i}")
                 if self.dropout > 0:
                     x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
@@ -52,10 +51,7 @@ class _DecoderStack(nn.Module):
             x = nn.Dense(widths[i + 1], name=f"fc_{i}")(x)
             x = nn.relu(x)
             if self.use_bn:
-                x = nn.BatchNorm(
-                    use_running_average=not train, momentum=0.9,
-                    epsilon=1e-5, name=f"bn_{i}",
-                )(x)
+                x = batch_norm(x, train=train, name=f"bn_{i}")
             if self.dropout > 0:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return nn.Dense(widths[-1], name="fc_out")(x)
@@ -156,10 +152,7 @@ class ResidualUnetAE(nn.Module):
                 h = nn.Dense(width, name=f"encoder_{i}_fc_{lvl}")(h)
                 h = nn.leaky_relu(h)
                 if self.use_bn:
-                    h = nn.BatchNorm(
-                        use_running_average=not train, momentum=0.9,
-                        epsilon=1e-5, name=f"encoder_{i}_bn_{lvl}",
-                    )(h)
+                    h = batch_norm(h, train=train, name=f"encoder_{i}_bn_{lvl}")
                 if self.dropout > 0:
                     h = nn.Dropout(
                         self.dropout, deterministic=not train
@@ -209,10 +202,7 @@ class SimpleFcAE(nn.Module):
             latent = nn.Dense(width, name=f"enc_{i}")(latent)
             latent = nn.leaky_relu(latent)
             if self.use_bn:
-                latent = nn.BatchNorm(
-                    use_running_average=not train, momentum=0.9,
-                    epsilon=1e-5, name=f"enc_bn_{i}",
-                )(latent)
+                latent = batch_norm(latent, train=train, name=f"enc_bn_{i}")
             if self.dropout > 0:
                 latent = nn.Dropout(self.dropout, deterministic=not train)(latent)
         widths = list(reversed(self.layers)) + [self.input_dim]

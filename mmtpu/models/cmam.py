@@ -14,6 +14,8 @@ from typing import Any, Dict
 import flax.linen as nn
 import jax.numpy as jnp
 
+from mmtpu.models.norm import batch_norm
+
 from mmtpu.modalities import Modality
 
 
@@ -28,9 +30,7 @@ class AssociationNetwork(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = nn.Dense(self.hidden_size, name="fc_0")(x)
         if self.batch_norm:
-            x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
-            )(x)
+            x = batch_norm(x, train=train, name="bn")
         x = nn.relu(x)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=not train)(x)

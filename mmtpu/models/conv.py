@@ -14,6 +14,8 @@ from typing import Sequence, Tuple, Union
 import flax.linen as nn
 import jax.numpy as jnp
 
+from mmtpu.models.norm import batch_norm
+
 
 def _pair(v: Union[int, Sequence[int]]) -> Tuple[int, int]:
     if isinstance(v, int):
@@ -62,12 +64,7 @@ class ConvBlock(nn.Module):
                 name=f"conv_{i + 1}",
             )(x)
             if self.batch_norm:
-                x = nn.BatchNorm(
-                    use_running_average=not train,
-                    momentum=0.9,
-                    epsilon=1e-5,
-                    name=f"bn_{i + 1}",
-                )(x)
+                x = batch_norm(x, train=train, name=f"bn_{i + 1}")
             x = nn.relu(x)
         return x
 

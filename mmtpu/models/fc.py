@@ -13,6 +13,8 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from mmtpu.models.norm import batch_norm
+
 
 class FcEncoder(nn.Module):
     input_dim: int
@@ -37,10 +39,7 @@ class FcEncoder(nn.Module):
             x = nn.Dense(width, name=f"fc_{i}")(x)
             x = nn.relu(x)
             if self.use_bn:
-                x = nn.BatchNorm(
-                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                    name=f"bn_{i}",
-                )(x)
+                x = batch_norm(x, train=train, name=f"bn_{i}")
             if self.dropout > 0:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
@@ -59,10 +58,7 @@ class FcClassifier(nn.Module):
             x = nn.Dense(width, name=f"fc_{i}")(x)
             x = nn.relu(x)
             if self.use_bn:
-                x = nn.BatchNorm(
-                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                    name=f"bn_{i}",
-                )(x)
+                x = batch_norm(x, train=train, name=f"bn_{i}")
             if self.dropout > 0:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return nn.Dense(self.output_dim, name="fc_out")(x)

@@ -14,6 +14,8 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from mmtpu.models.norm import batch_norm
+
 from mmtpu.models.conv import max_pool
 
 _KAIMING = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
@@ -35,18 +37,14 @@ class LeNetEncoder(nn.Module):
             self.feature_maps[0], (5, 5), padding=((2, 2), (2, 2)),
             kernel_init=_KAIMING, name="conv1",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1"
-        )(x)
+        x = batch_norm(x, train=train, name="bn1")
         x = nn.relu(x)
         x = max_pool(x, 2)
         x = nn.Conv(
             self.feature_maps[1], (5, 5), padding="VALID",
             kernel_init=_KAIMING, name="conv2",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn2"
-        )(x)
+        x = batch_norm(x, train=train, name="bn2")
         x = nn.relu(x)
         x = max_pool(x, 2)
 

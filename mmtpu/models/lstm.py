@@ -17,6 +17,8 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
+from mmtpu.models.norm import batch_norm
+
 
 class LSTMEncoder(nn.Module):
     """backend='fused' (default) routes through `lstm_sequence`
@@ -207,9 +209,7 @@ class LSTMClassifier(nn.Module):
         h2, _ = bi_lstm("rnn2", out1)
 
         h = jnp.concatenate([h1, h2], axis=-1)  # (B, 4*hidden)
-        h = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
-        )(h)
+        h = batch_norm(h, train=train, name="bn")
         h = nn.Dense(self.fc1_size, name="fc1")(h)
         h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
         h = nn.relu(h)

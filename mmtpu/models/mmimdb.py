@@ -14,6 +14,8 @@ from typing import Any, Dict, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
+from mmtpu.models.norm import batch_norm
+
 from mmtpu.models.fusion import MaxOut, MultimodalPooling
 
 
@@ -26,9 +28,7 @@ class MMIMDbModalityEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
-        )(x)
+        x = batch_norm(x, train=train, name="bn")
         return nn.Dense(self.output_dim, name="fc")(x)
 
 
@@ -39,19 +39,13 @@ class MLPGenreClassifier(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn0"
-        )(x)
+        x = batch_norm(x, train=train, name="bn0")
         x = MaxOut(self.input_size, self.hidden_size, use_bias=False, name="maxout0")(x)
         x = nn.Dropout(0.5, deterministic=not train)(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1"
-        )(x)
+        x = batch_norm(x, train=train, name="bn1")
         x = MaxOut(self.hidden_size, self.hidden_size, use_bias=False, name="maxout1")(x)
         x = nn.Dropout(0.5, deterministic=not train)(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn2"
-        )(x)
+        x = batch_norm(x, train=train, name="bn2")
         return nn.Dense(self.output_size, name="fc_out")(x)
 
 

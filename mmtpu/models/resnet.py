@@ -13,6 +13,8 @@ from typing import Sequence, Type
 import flax.linen as nn
 import jax.numpy as jnp
 
+from mmtpu.models.norm import batch_norm
+
 _KAIMING = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
@@ -29,17 +31,13 @@ class BasicBlock(nn.Module):
             padding=((1, 1), (1, 1)), use_bias=False, kernel_init=_KAIMING,
             name="conv1",
         )(x)
-        out = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1"
-        )(out)
+        out = batch_norm(out, train=train, name="bn1")
         out = nn.relu(out)
         out = nn.Conv(
             self.planes, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
             kernel_init=_KAIMING, name="conv2",
         )(out)
-        out = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn2"
-        )(out)
+        out = batch_norm(out, train=train, name="bn2")
 
         if self.stride != 1 or x.shape[-1] != self.planes * self.expansion:
             identity = nn.Conv(
@@ -47,10 +45,7 @@ class BasicBlock(nn.Module):
                 strides=(self.stride, self.stride), use_bias=False,
                 kernel_init=_KAIMING, name="downsample_conv",
             )(x)
-            identity = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                name="downsample_bn",
-            )(identity)
+            identity = batch_norm(identity, train=train, name="downsample_bn")
 
         return nn.relu(out + identity)
 
@@ -66,26 +61,20 @@ class Bottleneck(nn.Module):
         out = nn.Conv(
             self.planes, (1, 1), use_bias=False, kernel_init=_KAIMING, name="conv1"
         )(x)
-        out = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1"
-        )(out)
+        out = batch_norm(out, train=train, name="bn1")
         out = nn.relu(out)
         out = nn.Conv(
             self.planes, (3, 3), strides=(self.stride, self.stride),
             padding=((1, 1), (1, 1)), use_bias=False, kernel_init=_KAIMING,
             name="conv2",
         )(out)
-        out = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn2"
-        )(out)
+        out = batch_norm(out, train=train, name="bn2")
         out = nn.relu(out)
         out = nn.Conv(
             self.planes * self.expansion, (1, 1), use_bias=False,
             kernel_init=_KAIMING, name="conv3",
         )(out)
-        out = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn3"
-        )(out)
+        out = batch_norm(out, train=train, name="bn3")
 
         if self.stride != 1 or x.shape[-1] != self.planes * self.expansion:
             identity = nn.Conv(
@@ -93,10 +82,7 @@ class Bottleneck(nn.Module):
                 strides=(self.stride, self.stride), use_bias=False,
                 kernel_init=_KAIMING, name="downsample_conv",
             )(x)
-            identity = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                name="downsample_bn",
-            )(identity)
+            identity = batch_norm(identity, train=train, name="downsample_bn")
 
         return nn.relu(out + identity)
 
@@ -120,9 +106,7 @@ class ResNetEncoder(nn.Module):
             64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)), use_bias=False,
             kernel_init=_KAIMING, name="conv1",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1"
-        )(x)
+        x = batch_norm(x, train=train, name="bn1")
         x = nn.relu(x)
         # MaxPool 3x3/s2/p1 (torch semantics)
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)

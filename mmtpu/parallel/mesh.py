@@ -39,12 +39,25 @@ def create_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
     config = config or MeshConfig()
+    explicit = devices is not None
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     mp = max(1, config.model_parallel)
     dp = config.data_parallel if config.data_parallel > 0 else n // mp
     if dp * mp != n:
         raise ValueError(f"mesh {dp}x{mp} != {n} devices")
+    if not explicit:
+        # mesh_utils lays the mesh out along the ICI topology so the
+        # per-step gradient all-reduce rides neighbor links; a naive
+        # jax.devices() reshape can pair non-adjacent chips on the data
+        # axis on larger slices
+        try:
+            from jax.experimental import mesh_utils
+
+            arr = mesh_utils.create_device_mesh((dp, mp), devices=devices)
+            return Mesh(arr, axis_names=(DATA_AXIS, MODEL_AXIS))
+        except Exception:  # virtual/CPU device sets: fall through
+            pass
     arr = np.asarray(devices).reshape(dp, mp)
     return Mesh(arr, axis_names=(DATA_AXIS, MODEL_AXIS))
 
@@ -75,17 +88,24 @@ def replicate(mesh: Optional[Mesh] = None) -> NamedSharding:
 def shard_batch(batch: Dict[str, Any], mesh: Optional[Mesh] = None) -> Dict[str, Any]:
     """Place a host batch on device, sharded over the data axis.
 
-    Every leaf's leading dim must be divisible by the data-axis size (the
-    loader pads batches to fixed shapes, so this holds by construction).
+    Every array leaf's leading dim must be divisible by the data-axis size
+    — validated here with an actionable error (the loader pads to
+    batch_size, which the config/CLI layer must choose as a multiple of
+    data_parallel). Scalars replicate.
     """
     mesh = mesh or get_default_mesh()
+    dp = mesh.shape[DATA_AXIS]
 
     def _put(x):
         x = np.asarray(x)
-        return jax.device_put(x, batch_sharding(mesh, ndim=max(1, x.ndim)))
+        if x.ndim == 0:
+            return jax.device_put(x, replicate(mesh))
+        if x.shape[0] % dp:
+            raise ValueError(
+                f"batch dim {x.shape[0]} not divisible by data_parallel={dp}"
+                " — pick a batch_size that is a multiple of the data-axis"
+                " size (or lower --data-parallel)"
+            )
+        return jax.device_put(x, batch_sharding(mesh, ndim=x.ndim))
 
     return jax.tree_util.tree_map(_put, batch)
-
-
-def pad_to_multiple(n: int, multiple: int) -> int:
-    return ((n + multiple - 1) // multiple) * multiple

@@ -102,17 +102,21 @@ def make_cmam_train_step(task: CMAMTask) -> Callable:
         target_embd = task.teacher_embedding(batch)
 
         def loss_fn(params):
+            from mmtpu.models.norm import batch_mask
+
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
             inputs = {m: task.masked(batch, m) for m in task.input_modalities}
-            out = state.apply_fn(
-                variables,
-                inputs,
-                train=True,
-                rngs={"dropout": rng},
-                mutable=["batch_stats"] if state.batch_stats else False,
-            )
+            # padded tail rows stay out of BatchNorm statistics (models/norm)
+            with batch_mask(batch.get("sample_mask")):
+                out = state.apply_fn(
+                    variables,
+                    inputs,
+                    train=True,
+                    rngs={"dropout": rng},
+                    mutable=["batch_stats"] if state.batch_stats else False,
+                )
             if state.batch_stats:
                 rec, updates = out
                 new_stats = updates["batch_stats"]
@@ -224,14 +228,18 @@ def make_dual_cmam_train_step(task: DualCMAMTask) -> Callable:
         tgt_two = task.teacher_embedding_for(batch, task.target_modality_two)
 
         def loss_fn(params):
+            from mmtpu.models.norm import batch_mask
+
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
             x = task.masked(batch, task.input_modalities[0])
-            out = state.apply_fn(
-                variables, x, train=True, rngs={"dropout": rng},
-                mutable=["batch_stats"] if state.batch_stats else False,
-            )
+            # padded tail rows stay out of BatchNorm statistics (models/norm)
+            with batch_mask(batch.get("sample_mask")):
+                out = state.apply_fn(
+                    variables, x, train=True, rngs={"dropout": rng},
+                    mutable=["batch_stats"] if state.batch_stats else False,
+                )
             if state.batch_stats:
                 (rec_one, rec_two), updates = out
                 new_stats = updates["batch_stats"]

@@ -39,9 +39,24 @@ from mmtpu.train.step import ClassificationTask
 DEFAULT_BUDGET_BYTES = 4 * 2**30  # 4 GiB of HBM for resident data
 
 
+def _needed_modalities(dataset):
+    """Only the target modality's arrays for unimodal datasets — the
+    streaming loader gathers the same subset (loader.py), and uploading
+    unread modalities would waste replicated HBM and skew the budget."""
+    return [
+        m for m in dataset.arrays
+        if dataset.target_modality in (Modality.MULTIMODAL, m)
+    ]
+
+
 def dataset_nbytes(dataset) -> int:
     return int(
-        sum(a.nbytes for a in dataset.arrays.values()) + dataset.labels.nbytes
+        sum(dataset.arrays[m].nbytes for m in _needed_modalities(dataset))
+        + dataset.labels.nbytes
+        + sum(
+            a.nbytes for a in getattr(dataset, "lengths", {}).values()
+            if a is not None
+        )
     )
 
 
@@ -51,17 +66,26 @@ from flax import struct
 class DeviceResidentData(struct.PyTreeNode):
     arrays: Dict[str, jnp.ndarray]
     labels: jnp.ndarray
+    lengths: Dict[str, jnp.ndarray]
 
     @classmethod
     def upload(cls, dataset, mesh=None) -> "DeviceResidentData":
         """Upload the split to HBM; with a mesh, replicate over every device
         so the sharded schedule's gathers are local (no cross-device
-        all-to-all on sample indices)."""
+        all-to-all on sample indices). Per-sample sequence lengths ride
+        along so scan batches carry the same {mod}_lengths keys as the
+        streaming loader's."""
         put = (lambda a: jax.device_put(a, _replicated(mesh))) if mesh \
             else jax.device_put
+        needed = _needed_modalities(dataset)
         return cls(
-            arrays={str(m): put(a) for m, a in dataset.arrays.items()},
+            arrays={str(m): put(dataset.arrays[m]) for m in needed},
             labels=put(dataset.labels),
+            lengths={
+                str(m): put(a)
+                for m, a in getattr(dataset, "lengths", {}).items()
+                if a is not None and m in needed
+            },
         )
 
 
@@ -102,6 +126,8 @@ def _gather_batch(data: DeviceResidentData, xs: Dict[str, jnp.ndarray]):
     batch: Dict[str, jnp.ndarray] = {
         mod: arr[idx] for mod, arr in data.arrays.items()
     }
+    for mod, lens in data.lengths.items():
+        batch[f"{mod}_lengths"] = lens[idx]
     for key, val in xs.items():
         if key != "idx":
             batch[key] = val
@@ -216,10 +242,14 @@ def make_scan_eval_epoch(
 
 
 def build_schedule(
-    dataset, batch_size: int, epoch: int, shuffle: bool, seed: int, split: str
+    dataset, batch_size: int, epoch: int, shuffle: bool, seed: int, split: str,
+    drop_last: bool = False, base_batch_size: int = None,
 ) -> Dict[str, np.ndarray]:
     """Host-side epoch schedule: (steps, batch) index/pattern/mask arrays —
-    identical ordering semantics to BatchLoader._epoch_batches."""
+    identical ordering semantics to BatchLoader._epoch_batches, including
+    drop_last. With eval fusion (batch_size = base x factor), drop_last
+    truncates at the BASE batch size first — the same rows the streaming
+    loader would drop — before the fused partition pads the remainder."""
     vocab = dataset.pattern_vocab()
     mods = list(dataset.AVAILABLE_MODALITIES.values())
     if split == "train":
@@ -235,6 +265,11 @@ def build_schedule(
         pattern_of = np.repeat(np.arange(len(vocab)), n)
 
     total = sample_idx.shape[0]
+    if drop_last:
+        base = base_batch_size or batch_size
+        total = (total // base) * base
+        sample_idx = sample_idx[:total]
+        pattern_of = pattern_of[:total]
     steps = -(-total // batch_size)
     padded = steps * batch_size
     pad = padded - total

@@ -211,7 +211,9 @@ class TrainLoop:
                 )
                 self._scan[split] = (fn, ds, bs,
                                      getattr(loader, "shuffle", False),
-                                     getattr(loader, "seed", 0))
+                                     getattr(loader, "seed", 0),
+                                     getattr(loader, "drop_last", False),
+                                     loader.batch_size)
 
         self.epoch_metrics: List[Dict[str, Any]] = []
         self.timing_history: Dict[str, List[float]] = {"train": [], "validation": []}
@@ -242,14 +244,15 @@ class TrainLoop:
         """Device-resident path: one dispatch per epoch."""
         from mmtpu.train import device_loop as dl
 
-        fn, ds, batch_size, shuffle, seed = self._scan[split]
+        fn, ds, batch_size, shuffle, seed, drop_last, base_bs = self._scan[split]
         vocab = self._vocab(ds.pattern_vocab())
         t0 = time.time()
         # streaming BatchLoader counts epochs from 0 — keep the seeded
         # shuffle/pattern draws identical between the two paths
         schedule = dl.put_schedule(
             dl.build_schedule(
-                ds, batch_size, max(epoch - 1, 0), shuffle, seed, ds.split
+                ds, batch_size, max(epoch - 1, 0), shuffle, seed, ds.split,
+                drop_last=drop_last, base_batch_size=base_bs,
             ),
             self.mesh,
         )

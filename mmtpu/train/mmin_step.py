@@ -76,18 +76,22 @@ class MMINTask:
 def make_mmin_train_step(task: MMINTask) -> Callable:
     def step(state: TrainState, batch: Dict[str, Any], rng):
         def loss_fn(params):
+            from mmtpu.models.norm import batch_mask
+
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-            out = state.apply_fn(
-                variables,
-                _masked(batch, "audio"),
-                _masked(batch, "video"),
-                _masked(batch, "text"),
-                train=True,
-                rngs={"dropout": rng},
-                mutable=["batch_stats"] if state.batch_stats else False,
-            )
+            # padded tail rows stay out of BatchNorm statistics (models/norm)
+            with batch_mask(batch.get("sample_mask")):
+                out = state.apply_fn(
+                    variables,
+                    _masked(batch, "audio"),
+                    _masked(batch, "video"),
+                    _masked(batch, "text"),
+                    train=True,
+                    rngs={"dropout": rng},
+                    mutable=["batch_stats"] if state.batch_stats else False,
+                )
             if state.batch_stats:
                 res, updates = out
                 new_stats = updates["batch_stats"]

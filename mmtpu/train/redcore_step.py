@@ -76,18 +76,22 @@ def make_redcore_train_step(task: RedCoreTask) -> Callable:
         B = iA.shape[0]
 
         def loss_fn(params):
+            from mmtpu.models.norm import batch_mask
+
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-            out = state.apply_fn(
-                variables,
-                _masked(batch, "audio"), _masked(batch, "video"),
-                _masked(batch, "text"),
-                iA, iV, iT,
-                train=True,
-                rngs={"dropout": rng, "sample": jax.random.fold_in(rng, 1)},
-                mutable=["batch_stats"] if state.batch_stats else False,
-            )
+            # padded tail rows stay out of BatchNorm statistics (models/norm)
+            with batch_mask(batch.get("sample_mask")):
+                out = state.apply_fn(
+                    variables,
+                    _masked(batch, "audio"), _masked(batch, "video"),
+                    _masked(batch, "text"),
+                    iA, iV, iT,
+                    train=True,
+                    rngs={"dropout": rng, "sample": jax.random.fold_in(rng, 1)},
+                    mutable=["batch_stats"] if state.batch_stats else False,
+                )
             if state.batch_stats:
                 res, updates = out
                 new_stats = updates["batch_stats"]

@@ -35,11 +35,16 @@ class SelfMMTask:
     exclude_zero: bool = True
 
     def apply(self, variables, batch, *, train, rngs=None, mutable=False):
+        from mmtpu.models.norm import batch_mask
+
         A = (batch["audio"], batch.get("audio_lengths"))
         V = (batch["video"], batch.get("video_lengths"))
-        return self.model.apply(
-            variables, A, V, batch["text"], train=train, rngs=rngs, mutable=mutable
-        )
+        # padded tail rows stay out of BatchNorm statistics (models/norm)
+        with batch_mask(batch.get("sample_mask")):
+            return self.model.apply(
+                variables, A, V, batch["text"], train=train, rngs=rngs,
+                mutable=mutable,
+            )
 
 
 def weighted_l1(pred, target, weight=None, sample_mask=None):

@@ -24,7 +24,7 @@ from typing import Any, Callable, Dict, Sequence
 import jax
 import jax.numpy as jnp
 
-from mmtpu.train.losses import LossFunctionGroup
+from mmtpu.train.losses import LossFunctionGroup, _masked_reduce
 from mmtpu.train.state import TrainState
 
 
@@ -39,12 +39,10 @@ def apply_missing_mask(x, mask, invert: bool = False):
 
 
 def masked_mean(per_sample, sample_mask):
-    """Mean over real rows only; plain mean when no padding mask."""
-    if sample_mask is None:
-        return jnp.mean(per_sample)
-    return jnp.sum(per_sample * sample_mask) / jnp.maximum(
-        jnp.sum(sample_mask), 1.0
-    )
+    """Mean over real rows only; plain mean when no padding mask.
+    One implementation of masked-batch-mean semantics for the whole
+    framework — this is losses._masked_reduce."""
+    return _masked_reduce(per_sample, sample_mask)
 
 
 @dataclasses.dataclass
@@ -63,13 +61,18 @@ class ClassificationTask:
     binary_threshold: float = 0.5
 
     def apply(self, variables, batch, *, train: bool, rngs=None, mutable=False):
+        from mmtpu.models.norm import batch_mask
+
         inputs = [
             apply_missing_mask(batch[k], batch.get(f"{k}_mask"))
             for k in self.input_keys
         ]
-        return self.model.apply(
-            variables, *inputs, train=train, rngs=rngs, mutable=mutable
-        )
+        # publish the padding mask so BatchNorm statistics exclude padded
+        # tail rows (models/norm.py) — torch parity for fixed-shape batches
+        with batch_mask(batch.get("sample_mask")):
+            return self.model.apply(
+                variables, *inputs, train=train, rngs=rngs, mutable=mutable
+            )
 
     def predictions(self, logits: jnp.ndarray) -> jnp.ndarray:
         if self.multilabel:

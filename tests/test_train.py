@@ -302,6 +302,62 @@ class TestSteps:
         np.testing.assert_allclose(float(out["loss"]), expected, rtol=1e-5)
 
 
+class TestBatchNormPadding:
+    """Fixed-shape batches zero-pad tail rows; BatchNorm statistics must be
+    computed over REAL rows only (models/norm.py), so a padded batch trains
+    bit-identically to the torch reference's smaller real tail batch."""
+
+    def _step(self, batch):
+        model = build_module(
+            "fcclassifier", input_dim=8, layers=[16], output_dim=3,
+            dropout=0.0, use_bn=True,
+        )
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 8)))
+        from mmtpu.config import OptimizerConfig as OC
+
+        tx, _ = build_optimizer(
+            OC(name="SGD", default_kwargs={"lr": 0.1}), variables["params"]
+        )
+        state = TrainState.create(
+            apply_fn=model.apply, params=variables["params"], tx=tx,
+            batch_stats=variables.get("batch_stats", {}),
+        )
+        task = ClassificationTask(
+            model=model,
+            loss_group=LossFunctionGroup.from_dict(
+                {"ce": {"loss_name": "cross_entropy", "weight": 1.0}}
+            ),
+            input_keys=("x",),
+        )
+        step = make_train_step(task, donate=False)
+        new_state, out = step(state, batch, jax.random.PRNGKey(1))
+        return jax.device_get(new_state.params), jax.device_get(
+            new_state.batch_stats
+        ), float(out["loss"])
+
+    def test_padded_batch_trains_like_unpadded(self):
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(5, 8)).astype(np.float32)
+        y = rng.integers(0, 3, size=5)
+        real = {"x": jnp.asarray(x), "labels": jnp.asarray(y)}
+        padded = {
+            "x": jnp.concatenate([jnp.asarray(x), jnp.zeros((3, 8))], axis=0),
+            "labels": jnp.concatenate([jnp.asarray(y), jnp.zeros(3, y.dtype)]),
+            "sample_mask": jnp.asarray([1.0] * 5 + [0.0] * 3),
+        }
+        p_real, bs_real, loss_real = self._step(real)
+        p_pad, bs_pad, loss_pad = self._step(padded)
+        assert loss_pad == pytest.approx(loss_real, rel=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+            p_real, p_pad,
+        )
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+            bs_real, bs_pad,
+        )
+
+
 class TestCriterionTorchParity:
     """Criteria whose reductions/weighting have subtle torch semantics:
     values must match the torch modules the reference resolves
