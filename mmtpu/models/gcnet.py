@@ -237,7 +237,10 @@ class _BiRNNStack(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False,
+        lengths: "jnp.ndarray | None" = None,
+    ) -> jnp.ndarray:
         out = x
         for layer in range(self.num_layers):
             if layer > 0 and self.dropout > 0:
@@ -249,9 +252,20 @@ class _BiRNNStack(nn.Module):
                 return nn.OptimizedLSTMCell(self.hidden_size)
 
             fwd = nn.RNN(make_cell(), name=f"l{layer}_fwd")
+            # seq_lengths makes reverse=True flip within each sequence's
+            # valid prefix (packed semantics): without it the backward scan
+            # starts on global zero-pad rows and the biases drift the state
+            # before it reaches real timesteps — outputs would then depend
+            # on how far the dataset pad length exceeds the true length,
+            # unlike the reference (pads only to the batch max).
             bwd = nn.RNN(
                 make_cell(), reverse=True, keep_order=True, name=f"l{layer}_bwd")
-            out = jnp.concatenate([fwd(out), bwd(out)], axis=-1)
+            if lengths is not None:
+                out = jnp.concatenate(
+                    [fwd(out, seq_lengths=lengths),
+                     bwd(out, seq_lengths=lengths)], axis=-1)
+            else:
+                out = jnp.concatenate([fwd(out), bwd(out)], axis=-1)
         return out
 
 
@@ -296,7 +310,9 @@ class GraphNetwork(nn.Module):
         d_h = self.num_features + self.hidden_size
         seq = _BiRNNStack(
             hidden_size=d_h, num_layers=2, cell="lstm",
-            dropout=self.dropout, name="grufusion")(cat, train=train)
+            dropout=self.dropout, name="grufusion")(
+            cat, train=train,
+            lengths=valid.astype(jnp.int32).sum(axis=1))
 
         if self.time_attention:
             att, _ = MatchingAttention(
@@ -347,7 +363,8 @@ class GraphModel(nn.Module):
         seq = _BiRNNStack(
             hidden_size=self.D_e, num_layers=2,
             cell="lstm" if self.base_model == "LSTM" else "gru",
-            dropout=self.dropout, name="base_rnn")(features, train=train)
+            dropout=self.dropout, name="base_rnn")(
+            features, train=train, lengths=lengths.astype(jnp.int32))
 
         lengths = lengths.astype(jnp.int32)
         valid = jnp.arange(T)[None, :] < lengths[:, None]

@@ -39,15 +39,19 @@ class AuViSubNet(nn.Module):
         h = x
         final_h = None
         for layer in range(self.num_layers):
+            # torch nn.LSTM semantics: BOTH directions of layer L consume
+            # layer L-1's (concatenated) outputs — snapshot before the
+            # forward direction overwrites h
+            layer_in = h
             rnn = nn.RNN(
                 nn.OptimizedLSTMCell(self.hidden_size),
                 return_carry=True,
                 name=f"rnn_l{layer}",
             )
             if lengths is not None:
-                (c, hidden), h = rnn(h, seq_lengths=lengths)
+                (c, hidden), h = rnn(layer_in, seq_lengths=lengths)
             else:
-                (c, hidden), h = rnn(h)
+                (c, hidden), h = rnn(layer_in)
             final_h = hidden
             if self.bidirectional:
                 bwd = nn.RNN(
@@ -56,12 +60,16 @@ class AuViSubNet(nn.Module):
                     name=f"rnn_l{layer}_bwd",
                 )
                 (cb, hb), hseq_b = (
-                    bwd(x if layer == 0 else h, seq_lengths=lengths)
+                    bwd(layer_in, seq_lengths=lengths)
                     if lengths is not None
-                    else bwd(x if layer == 0 else h)
+                    else bwd(layer_in)
                 )
                 final_h = jnp.concatenate([hidden, hb], axis=-1)
                 h = jnp.concatenate([h, hseq_b], axis=-1)
+            # torch applies dropout BETWEEN stacked layers (not after the
+            # last) when num_layers > 1
+            if layer < self.num_layers - 1 and self.dropout > 0:
+                h = nn.Dropout(self.dropout, deterministic=not train)(h)
         out = nn.Dropout(self.dropout, deterministic=not train)(final_h)
         return nn.Dense(self.out_size, name="linear_1")(out)
 

@@ -25,18 +25,12 @@ missing-pattern evaluation visits samples × patterns).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
-LANE = 128
-SUBLANE = 8
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from mmtpu.ops.tiling import LANE, SUBLANE, round_up as _round_up
 
 
 def _xla_mlp(x, weights, biases):
@@ -103,10 +97,12 @@ def _pallas_forward(x, weights, biases):
             out_specs=pl.BlockSpec((BT, pdims[-1]), lambda i: (i, 0)),
         ),
     )(xp, *wps, *bps)
-    return out[:B, : dims[-1]]
+    # the XLA fallback preserves the input dtype; match it so the output
+    # dtype is not backend-dependent (kernel accumulates fp32 either way)
+    return out[:B, : dims[-1]].astype(x.dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=())
+@jax.custom_vjp
 def fused_mlp(x, weights: Tuple, biases: Tuple):
     """ReLU-MLP chain; weights/biases are tuples of (in,out)/(out,) arrays."""
     if jax.default_backend() != "tpu":

@@ -32,11 +32,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-LANE = 128
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from mmtpu.ops.tiling import LANE, round_up as _round_up
 
 
 def _xla_lstm(xw, wh, h0, c0, lengths):
@@ -199,6 +195,22 @@ def lstm_sequence_stacked(
     return jnp.transpose(outs, (1, 2, 0, 3)), (h, c)
 
 
+def _pallas_fits(B: int, T: int, H: int) -> bool:
+    """Conservative VMEM admission for the kernel's (BT, T, ·) blocks.
+
+    Known-good measured points run at grid == 1 (whole batch in one tile,
+    no double buffering) with in+out blocks up to ~33 MB (B=32, T=400,
+    H=64); a grid-4 dispatch (B=1024, T=50, H=32 → BT=256) OOMs VMEM at
+    compile. Admit only single-tile grids under a 40 MB block budget —
+    everything else takes the XLA scan (which batches large B well on the
+    MXU anyway)."""
+    Hp = _round_up(H, LANE)
+    BT = _round_up(B, 8)
+    if BT > 256:  # multi-tile grid → double-buffered blocks → VMEM OOM
+        return False
+    return 4 * BT * T * 5 * Hp <= 40 * 2**20  # input (4Hp) + output (Hp)
+
+
 @jax.custom_vjp
 def lstm_sequence(
     xw: jnp.ndarray,
@@ -210,11 +222,13 @@ def lstm_sequence(
     """xw: (B,T,4H) pre-projected inputs; wh: (H,4H). Returns (outputs, (h,c)).
 
     Shape-dispatched: the Pallas kernel runs where it measurably wins
-    (small H / long T — see module header); XLA scan elsewhere."""
+    (small H / long T — see module header) AND fits VMEM; XLA scan
+    elsewhere."""
     if jax.default_backend() != "tpu":
         return _xla_lstm(xw, wh, h0, c0, lengths)
     H, T = wh.shape[0], xw.shape[1]
-    if T >= 3 * H or H <= 32:
+    B = xw.shape[0]
+    if (T >= 3 * H or H <= 32) and _pallas_fits(B, T, H):
         return _pallas_lstm(xw, wh, h0, c0, lengths)
     return _xla_lstm(xw, wh, h0, c0, lengths)
 

@@ -195,6 +195,35 @@ def test_graph_model_forward_and_grads():
     assert any(float(jnp.abs(g).max()) > 0 for g in flat)
 
 
+def test_valid_outputs_invariant_to_pad_length():
+    """Reference parity: the reference pads conversations only to the
+    batch max; here the dataset pads to a global T. Valid-position logits
+    must not depend on how much padding follows — the reverse-direction
+    RNNs run with seq_lengths so their scan starts at each sequence's last
+    REAL step, not on pad rows."""
+    feats, qmask, umask, lengths = make_inputs()
+    model = GraphModel(
+        base_model="LSTM", adim=3, tdim=4, vdim=2, D_e=5,
+        graph_hidden_size=4, n_speakers=2, window_past=2, window_future=2,
+        n_classes=4, dropout=0.0, time_attn=True)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), feats, qmask, umask,
+                            lengths)
+    logits, _, _ = jax.jit(model.apply)(v, feats, qmask, umask, lengths)
+
+    pad = 5  # extend the global pad length; real data unchanged
+    T = feats.shape[1]
+    feats_p = jnp.pad(feats, ((0, 0), (0, pad), (0, 0)))
+    qmask_p = jnp.pad(qmask, ((0, 0), (0, pad)))
+    umask_p = jnp.pad(umask, ((0, 0), (0, pad)))
+    logits_p, _, _ = jax.jit(model.apply)(v, feats_p, qmask_p, umask_p,
+                                          lengths)
+    for b, ln in enumerate(np.asarray(lengths)):
+        np.testing.assert_allclose(
+            np.asarray(logits)[b, :ln], np.asarray(logits_p)[b, :ln],
+            rtol=1e-5, atol=1e-5,
+        )
+
+
 def test_graph_model_gru_variant_and_registry():
     from mmtpu.models import build_module
 

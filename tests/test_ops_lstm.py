@@ -18,6 +18,21 @@ def setup(B=6, T=10, H=16, I=8, seed=0):
     return xw, wh, jnp.zeros((B, H)), jnp.zeros((B, H))
 
 
+def test_pallas_vmem_admission():
+    """The Pallas dispatch must refuse shapes whose blocks overflow VMEM
+    (reproduced compile-time OOM at B=1024, T=50, H=32 — a realistic fused
+    eval batch) while keeping every measured-win shape admitted."""
+    from mmtpu.ops.lstm import _pallas_fits
+
+    # measured-win shapes (module header table) stay admitted
+    assert _pallas_fits(128, 50, 32)
+    assert _pallas_fits(32, 200, 32)
+    assert _pallas_fits(32, 400, 64)
+    # the reproduced OOM shape and a degenerate long-T one are refused
+    assert not _pallas_fits(1024, 50, 32)
+    assert not _pallas_fits(32, 4000, 32)
+
+
 def test_matches_flax_rnn_semantics():
     """Our gate order/activations must match flax's LSTMCell scan."""
     import flax.linen as nn

@@ -79,6 +79,53 @@ def build():
     return task, state, managers, batch
 
 
+def test_auvisubnet_multilayer_bidirectional_wiring():
+    """torch nn.LSTM semantics: BOTH directions of layer L consume layer
+    L-1's concatenated outputs. Regression: the backward direction of
+    layer 1 was being fed layer 1's forward outputs."""
+    import flax.linen as nn
+    import jax
+
+    B, T, I, H, O = 3, 5, 6, 4, 7
+    net = AuViSubNet(I, H, O, num_layers=2, bidirectional=True, dropout=0.0)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(B, T, I)),
+                    jnp.float32)
+    lengths = jnp.asarray([5, 3, 4])
+    v = net.init(jax.random.PRNGKey(0), x, lengths)
+    got = net.apply(v, x, lengths, train=False)
+
+    # reference composition from the SAME params, wired explicitly. The
+    # cells are constructed in AuViSubNet.__call__, so their params land in
+    # the parent scope as OptimizedLSTMCell_{k} in construction order:
+    # l0 fwd, l0 bwd, l1 fwd, l1 bwd.
+    p = v["params"]
+
+    def fwd(k, xx):
+        rnn = nn.RNN(nn.OptimizedLSTMCell(H), return_carry=True)
+        return rnn.apply(
+            {"params": {"cell": p[f"OptimizedLSTMCell_{k}"]}},
+            xx, seq_lengths=lengths,
+        )
+
+    def bwd(k, xx):
+        rnn = nn.RNN(nn.OptimizedLSTMCell(H), return_carry=True,
+                     reverse=True, keep_order=True)
+        return rnn.apply(
+            {"params": {"cell": p[f"OptimizedLSTMCell_{k}"]}},
+            xx, seq_lengths=lengths,
+        )
+
+    (_, h0f), s0f = fwd(0, x)
+    (_, h0b), s0b = bwd(1, x)
+    l0_out = jnp.concatenate([s0f, s0b], axis=-1)
+    (_, h1f), _ = fwd(2, l0_out)
+    (_, h1b), _ = bwd(3, l0_out)
+    final = jnp.concatenate([h1f, h1b], axis=-1)
+    want = final @ p["linear_1"]["kernel"] + p["linear_1"]["bias"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_forward_output_structure():
     task, state, _, batch = build()
     out = task.apply(state.variables, batch, train=False)
