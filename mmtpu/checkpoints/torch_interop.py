@@ -43,24 +43,25 @@ _NAME_RULES: List[Tuple[str, str]] = [
 _MNIST_FC = ("fc", "net.5")  # MNISTAudio/Image final Linear in Sequential
 
 # Dense-after-conv-flatten layouts (C, H, W) for automatic NCHW→NHWC
-# permutation: MNIST image 64×7×7, MNIST audio 64×5×15, LeNet 16×5×5.
-_DEFAULT_FLATTEN_LAYOUTS: Dict[str, Tuple[int, int, int]] = {
-    "fc": (64, 7, 7),
-    "fc1": (16, 5, 5),
+# permutation. Keyed by module name with an ALLOWLIST of exact geometries —
+# the permutation fires only when C*H*W equals the kernel's input dim, so a
+# Dense that merely shares the name (ResNet's pooled `fc` at 512, the LSTM
+# classifier's `fc1` at hidden size) is never scrambled by a divisibility
+# heuristic. Known flattens: MNIST image 64x7x7, MNIST audio 64x5x15,
+# LeNet 16x5x5.
+_DEFAULT_FLATTEN_LAYOUTS: Dict[str, Tuple[Tuple[int, int, int], ...]] = {
+    "fc": ((64, 7, 7), (64, 5, 15)),
+    "fc1": ((16, 5, 5),),
 }
 
 
 def _permute_flatten(w: np.ndarray, chw: Tuple[int, int, int]) -> np.ndarray:
-    """(out, C*H*W) torch linear weight → (out, H*W*C) matching NHWC flatten."""
+    """(out, C*H*W) torch linear weight → (out, H*W*C) matching NHWC flatten.
+    No-op unless the declared geometry matches the input dim exactly."""
     out_dim, in_dim = w.shape
     c, h, wd = chw
     if c * h * wd != in_dim:
-        # try to infer H*W from in_dim given C (audio encoders have
-        # non-square maps)
-        if in_dim % c != 0:
-            return w
-        hw = in_dim // c
-        return w.reshape(out_dim, c, hw).transpose(0, 2, 1).reshape(out_dim, in_dim)
+        return w
     return (
         w.reshape(out_dim, c, h, wd).transpose(0, 2, 3, 1).reshape(out_dim, in_dim)
     )
@@ -246,8 +247,11 @@ def load_torch_checkpoint(
     True because these paths come from user-authored experiment configs;
     pass False to reject such files.
     """
-    layouts = dict(_DEFAULT_FLATTEN_LAYOUTS)
-    layouts.update(flatten_layouts or {})
+    layouts: Dict[str, Tuple[Tuple[int, int, int], ...]] = dict(
+        _DEFAULT_FLATTEN_LAYOUTS
+    )
+    for k, v in (flatten_layouts or {}).items():
+        layouts[k] = (tuple(v),)  # user-declared exact geometry
     state = _load_state_dict(Path(path), trusted=trusted)
     used: set = set()
 
@@ -289,7 +293,10 @@ def load_torch_checkpoint(
                         and value.ndim == 2
                         and flax_path in layouts
                     ):
-                        value = _permute_flatten(value, layouts[flax_path])
+                        for chw in layouts[flax_path]:
+                            if int(np.prod(chw)) == value.shape[1]:
+                                value = _permute_flatten(value, chw)
+                                break
                     out[k] = _convert(value, k, np.shape(v))
                     used.add(hit)
                 else:
@@ -317,9 +324,22 @@ def load_torch_checkpoint(
                 f"layer is semantically the intended one)"
             )
             return matches[0][1]
+        keys = [m[0] for m in matches]
+        if len(matches) > 1 and any("_reverse" in k or "_l1" in k for k in keys):
+            # bidirectional / multi-layer torch LSTMs produce forward and
+            # reverse (or per-layer) weights with identical shapes — a
+            # silent keep-random-init here would make a "pretrained" model
+            # train from scratch. Fail loudly instead.
+            raise ValueError(
+                "torch-interop: cannot disambiguate multi-layer/"
+                f"bidirectional LSTM weights for leaf {leaf} shape {want}: "
+                f"candidates {keys}. Convert this checkpoint explicitly "
+                "(the automatic mapping covers unidirectional layer-0 "
+                "LSTMs only)."
+            )
         logger.warning(
             f"torch-interop: no unique source for leaf {leaf} shape {want} "
-            f"({len(matches)} candidates); keeping initialized value"
+            f"({len(matches)} candidates: {keys}); keeping initialized value"
         )
         return v
 

@@ -346,13 +346,16 @@ def make_recorder(cfg) -> MetricRecorder:
     )
 
 
-def make_monitor(cfg):
-    """ExperimentMonitor when enabled (reference setup_tracking :378-435)."""
+def make_monitor(cfg, resume: bool = False):
+    """ExperimentMonitor when enabled (reference setup_tracking :378-435).
+    resume=True appends to the previous run's monitor_data.h5 instead of
+    truncating it."""
     if not cfg.monitoring.enabled or not cfg.logging.monitor_path:
         return None
     from mmtpu.monitor import ExperimentMonitor
 
-    return ExperimentMonitor(cfg.monitoring, cfg.logging.monitor_path)
+    return ExperimentMonitor(cfg.monitoring, cfg.logging.monitor_path,
+                             resume=resume)
 
 
 def make_checkpoint_manager(cfg) -> CheckpointManager:

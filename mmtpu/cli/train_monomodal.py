@@ -96,7 +96,7 @@ def main(argv=None) -> int:
         group_name=group,
         on_best=on_best,
         print_interval=cfg.experiment.train_print_interval_epochs,
-        monitor=common.make_monitor(cfg),
+        monitor=common.make_monitor(cfg, resume=getattr(args, "resume", False)),
         # metric keys carry the MODALITY name, not the pattern letter
         # (reference records update_group(modality=str(key)), :242-247)
         vocab_override=[str(modality)] * len(any_loader.pattern_vocab),

@@ -145,7 +145,7 @@ def run_single(cfg, args, cv_no=None, json_nesting="reference", collect=None) ->
         metrics_path=Path(cfg.logging.metrics_path),
         group_name=group,
         print_interval=cfg.experiment.train_print_interval_epochs,
-        monitor=common.make_monitor(cfg),
+        monitor=common.make_monitor(cfg, resume=getattr(args, "resume", False)),
         json_nesting=json_nesting,
         run_id=args.run_id,
         eval_batch_factor=getattr(args, "eval_batch_factor", None),

@@ -93,13 +93,17 @@ def tree_stats(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
 class ExperimentMonitor:
     STAT_COLUMNS = STAT_COLUMNS
 
-    def __init__(self, config: MonitorConfig, output_path: str) -> None:
+    def __init__(
+        self, config: MonitorConfig, output_path: str, resume: bool = False
+    ) -> None:
         self.config = config
         self.storage = MonitorStorage(
             f"{output_path}/monitor_data.h5",
             buffer_size=config.buffer_size,
             compression=config.compression,
             compression_opts=config.compression_opts,
+            # --resume must append to the prior run's capture, not wipe it
+            mode="a" if resume else "w",
         )
         self.epoch = 0
         self.global_step = 0
@@ -108,9 +112,13 @@ class ExperimentMonitor:
         self._include = [re.compile(p) for p in (config.include_layers or [])]
 
     def _keep(self, name: str) -> bool:
+        # reference precedence (monitoring/monitor.py:94-99): exclusion wins
+        # even over an explicit include list
+        if any(p.search(name) for p in self._exclude):
+            return False
         if self._include:
             return any(p.search(name) for p in self._include)
-        return not any(p.search(name) for p in self._exclude)
+        return True
 
     # -- lifecycle ------------------------------------------------------------
 
@@ -118,7 +126,14 @@ class ExperimentMonitor:
         self.epoch = epoch
 
     def step(self) -> None:
+        """Advance the step counter AFTER a batch (reference cadence:
+        capture fires when step_count % interval == 0 with the counter
+        starting at 0, so the initial-gradient snapshot is included) and
+        flush the buffers every flush_interval steps."""
         self.global_step += 1
+        fi = int(getattr(self.config, "flush_interval", 0) or 0)
+        if fi > 0 and self.global_step % fi == 0:
+            self.storage.flush()
 
     def end_epoch(self, state) -> None:
         if self.config.enable_weight_tracking:
@@ -219,9 +234,11 @@ class ExperimentMonitor:
                 {"columns": ",".join(spectral.keys())},
             )
         if self.config.enable_layer_convergence:
-            # convergence proxy: per-layer weight L2 trajectory
-            l2 = np.asarray([host[k][0] for k in sorted(host)])
+            # convergence proxy: per-layer weight L2 trajectory, over the
+            # same layer set the weights group records (_keep-filtered)
+            names = sorted(k for k in host if self._keep(k))
+            l2 = np.asarray([host[k][0] for k in names])
             self.storage.append(
                 "convergence", f"epoch_{self.epoch}/weight_l2", l2,
-                {"layers": ";".join(sorted(host))},
+                {"layers": ";".join(names)},
             )

@@ -26,6 +26,7 @@ class MonitorStorage:
         buffer_size: int = 1000,
         compression: Optional[str] = "gzip",
         compression_opts: int = 4,
+        mode: str = "w",
     ) -> None:
         self.path = Path(path)
         self.path.parent.mkdir(parents=True, exist_ok=True)
@@ -35,9 +36,12 @@ class MonitorStorage:
         self._buffer: List[Tuple[str, str, Dict[str, Any], np.ndarray]] = []
         import h5py
 
-        self._file = h5py.File(self.path, "w")
+        # mode 'a' preserves a prior run's captures (--resume); 'w' starts
+        # a fresh file
+        self._file = h5py.File(self.path, mode)
         for g in GROUPS:
-            self._file.create_group(g)
+            if g not in self._file:
+                self._file.create_group(g)
 
     def append(
         self, group: str, name: str, data: np.ndarray, attrs: Optional[Dict] = None

@@ -31,20 +31,43 @@ def gaussian_kernel(x: jnp.ndarray, y: jnp.ndarray, sigma: float = 1.0) -> jnp.n
     return jnp.exp(-_cdist_sq(x, y) / (2.0 * sigma**2))
 
 
-def mmd_loss(x: jnp.ndarray, y: jnp.ndarray, sigma: float = 1.0) -> jnp.ndarray:
+def _pair_mean(k: jnp.ndarray, w: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Kernel-matrix mean over real-row pairs (w is a (B,) 0/1 mask)."""
+    if w is None:
+        return k.mean()
+    ww = w[:, None] * w[None, :]
+    return jnp.sum(k * ww) / jnp.maximum(jnp.sum(ww), 1e-8)
+
+
+def mmd_loss(
+    x: jnp.ndarray, y: jnp.ndarray, sigma: float = 1.0,
+    sample_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
     xx = gaussian_kernel(x, x, sigma)
     yy = gaussian_kernel(y, y, sigma)
     xy = gaussian_kernel(x, y, sigma)
-    return xx.mean() + yy.mean() - 2.0 * xy.mean()
+    return (
+        _pair_mean(xx, sample_mask)
+        + _pair_mean(yy, sample_mask)
+        - 2.0 * _pair_mean(xy, sample_mask)
+    )
+
+
+def _masked_mean0(x: jnp.ndarray, w: Optional[jnp.ndarray]) -> jnp.ndarray:
+    if w is None:
+        return jnp.mean(x, axis=0)
+    ws = w.reshape((-1,) + (1,) * (x.ndim - 1))
+    return jnp.sum(x * ws, axis=0) / jnp.maximum(jnp.sum(w), 1e-8)
 
 
 def moment_matching_loss(
-    x: jnp.ndarray, y: jnp.ndarray, num_moments: int = 2
+    x: jnp.ndarray, y: jnp.ndarray, num_moments: int = 2,
+    sample_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     loss = 0.0
     for i in range(1, num_moments + 1):
-        xm = jnp.mean(jnp.power(x, i), axis=0)
-        ym = jnp.mean(jnp.power(y, i), axis=0)
+        xm = _masked_mean0(jnp.power(x, i), sample_mask)
+        ym = _masked_mean0(jnp.power(y, i), sample_mask)
         loss = loss + jnp.mean((xm - ym) ** 2)
     return loss
 
@@ -109,27 +132,33 @@ class CMAMLoss:
         cls_labels: Optional[jnp.ndarray] = None,
         mi_critic: Optional[Callable] = None,
         rng: Optional[jax.Array] = None,
+        sample_mask: Optional[jnp.ndarray] = None,
     ) -> Dict[str, Any]:
+        """sample_mask (B,) zeroes padded tail rows out of every term —
+        padded rows would otherwise push garbage-reconstruction gradients
+        into the CMAM each epoch (the torch reference feeds ragged tail
+        batches and never sees padding)."""
         p = predictions.astype(jnp.float32)
         t = targets.astype(jnp.float32)
+        sm = sample_mask
 
         sim = jnp.sum(p * t, axis=1) / (
             jnp.linalg.norm(p, axis=1) * jnp.linalg.norm(t, axis=1) + self.epsilon
         )
-        cosine_loss = (1.0 - jnp.mean(sim)) * self.cosine_weight
-        mae = L.l1(p, t) * self.mae_weight
-        mse = L.mse(p, t) * self.mse_weight
+        cosine_loss = (1.0 - L._masked_reduce(sim, sm)) * self.cosine_weight
+        mae = L.l1(p, t, sample_mask=sm) * self.mae_weight
+        mse = L.mse(p, t, sample_mask=sm) * self.mse_weight
 
         total = cosine_loss + mae + mse
         out: Dict[str, Any] = {"cosine": cosine_loss, "mae": mae, "mse": mse}
 
         if self.mmd_weight > 0:
-            mmd = mmd_loss(p, t, self.mmd_sigma)
+            mmd = mmd_loss(p, t, self.mmd_sigma, sample_mask=sm)
             total = total + self.mmd_weight * mmd
             out["mmd"] = mmd
 
         if self.moment_weight > 0:
-            mm = moment_matching_loss(p, t, self.num_moments)
+            mm = moment_matching_loss(p, t, self.num_moments, sample_mask=sm)
             total = total + self.moment_weight * mm
             out["moment_loss"] = mm
 
@@ -139,7 +168,7 @@ class CMAMLoss:
             and reconstructed is not None
             and forward_func is not None
         ):
-            cyc = L.mse(forward_func(reconstructed), originals)
+            cyc = L.mse(forward_func(reconstructed), originals, sample_mask=sm)
             total = total + self.cyclic_weight * cyc
             out["cyclic_loss"] = cyc
 
@@ -149,12 +178,25 @@ class CMAMLoss:
             perm = jax.random.permutation(rng, p.shape[0])
             pos = mi_critic(originals, p)
             neg = mi_critic(originals, p[perm])
-            mi = -jnp.mean(pos) + jnp.log(jnp.mean(jnp.exp(neg)) + self.epsilon)
+            if sm is None:
+                mi = -jnp.mean(pos) + jnp.log(
+                    jnp.mean(jnp.exp(neg)) + self.epsilon
+                )
+            else:
+                w = sm.reshape(-1)
+                # negatives pair originals[i] with p[perm[i]]: both rows
+                # must be real for the pair to count
+                wn = w * w[perm]
+                mi = -L._masked_reduce(pos.reshape(-1), w) + jnp.log(
+                    jnp.sum(jnp.exp(neg.reshape(-1)) * wn)
+                    / jnp.maximum(jnp.sum(wn), 1e-8)
+                    + self.epsilon
+                )
             total = total + self.mi_weight * mi
             out["mi_loss"] = mi
 
         if self.cls_weight > 0 and cls_logits is not None and cls_labels is not None:
-            cls = self._cls_loss(cls_logits, cls_labels)
+            cls = self._cls_loss(cls_logits, cls_labels, sample_mask=sm)
             total = total + self.cls_weight * cls
             out["cls_loss"] = cls
 

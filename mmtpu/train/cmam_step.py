@@ -130,6 +130,7 @@ def make_cmam_train_step(task: CMAMTask) -> Callable:
                 target_embd,
                 cls_logits=cls_logits,
                 cls_labels=batch.get(task.labels_key) if task.cls_from_rec else None,
+                sample_mask=batch.get("sample_mask"),
             )
             return terms["total_loss"], (rec, cls_logits, terms, new_stats)
 
@@ -169,6 +170,7 @@ def make_cmam_eval_step(task: CMAMTask) -> Callable:
             target_embd,
             cls_logits=cls_logits,
             cls_labels=batch.get(task.labels_key) if task.cls_from_rec else None,
+            sample_mask=batch.get("sample_mask"),
         )
         out = {
             "loss": terms["total_loss"],
@@ -251,9 +253,11 @@ def make_dual_cmam_train_step(task: DualCMAMTask) -> Callable:
             )
             labels = batch.get(task.labels_key) if task.cls_from_rec else None
             terms_one = task.loss(rec_one, tgt_one, cls_logits=cls_logits,
-                                  cls_labels=labels)
+                                  cls_labels=labels,
+                                  sample_mask=batch.get("sample_mask"))
             terms_two = task.loss(rec_two, tgt_two, cls_logits=cls_logits,
-                                  cls_labels=labels)
+                                  cls_labels=labels,
+                                  sample_mask=batch.get("sample_mask"))
             total = terms_one["total_loss"] + terms_two["total_loss"]
             terms = {f"rec_{k}_one": v for k, v in terms_one.items()
                      if k != "total_loss"}
@@ -300,9 +304,11 @@ def make_dual_cmam_eval_step(task: DualCMAMTask) -> Callable:
         )
         labels = batch.get(task.labels_key) if task.cls_from_rec else None
         terms_one = task.loss(rec_one, tgt_one, cls_logits=cls_logits,
-                              cls_labels=labels)
+                              cls_labels=labels,
+                              sample_mask=batch.get("sample_mask"))
         terms_two = task.loss(rec_two, tgt_two, cls_logits=cls_logits,
-                              cls_labels=labels)
+                              cls_labels=labels,
+                              sample_mask=batch.get("sample_mask"))
         out = {
             "loss": terms_one["total_loss"] + terms_two["total_loss"],
             "rec_embd": rec_one,

@@ -295,8 +295,6 @@ class TrainLoop:
             mon.start_epoch(epoch)
         for batch in self._device_batches(loader):
             self._rng, step_rng = jax.random.split(self._rng)
-            if mon is not None:
-                mon.step()
             if (
                 mon is not None
                 and self.train_step_monitored is not None
@@ -309,11 +307,22 @@ class TrainLoop:
             else:
                 self.state, out = self.train_step(self.state, batch, step_rng)
             if mon is not None and mon.want_activations:
-                inputs = [batch[k] for k in getattr(self.task, "input_keys", [])]
+                # capture the SAME forward training sees: missing-modality
+                # masks applied (step.py ClassificationTask.apply)
+                from mmtpu.train.step import apply_missing_mask
+
+                inputs = [
+                    apply_missing_mask(batch[k], batch.get(f"{k}_mask"))
+                    for k in getattr(self.task, "input_keys", [])
+                ]
                 if inputs:
                     mon.record_activations(
                         self.task.model, self.state.variables, inputs
                     )
+            if mon is not None:
+                # reference cadence: the counter advances AFTER the batch,
+                # so step 0 (the init-diagnostics snapshot) is captured
+                mon.step()
             losses.append(out["loss"])
             if "terms" in out:
                 self._phase_terms.append(out["terms"])

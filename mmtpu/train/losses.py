@@ -213,8 +213,8 @@ class WeightedLossTerm:
 
     def _accepted(self, kwargs: Dict[str, Any]) -> Dict[str, Any]:
         """Drop call kwargs the criterion's signature can't take (e.g.
-        sample_mask=None for CMAMLoss or user criteria registered via
-        register_criterion without the parameter)."""
+        sample_mask for user criteria registered via register_criterion
+        without the parameter)."""
         kwargs = {k: v for k, v in kwargs.items() if v is not None}
         if not kwargs:
             return kwargs

@@ -94,11 +94,24 @@ class ManagerState(struct.PyTreeNode):
     # -- centers -----------------------------------------------------------------
 
     def update_centers(self, exclude_zero: bool = True) -> "ManagerState":
-        """Pos/neg centers = masked means over the full feature bank keyed by
-        the fusion labels' sign (reference CenterManager.update :143-163)."""
+        """Pos/neg centers = masked means over the full feature bank.
+
+        Faithful quirk (reference self_mm.py:421-424 + managers.py:137-160):
+        `_update_centers` calls CenterManager.update once per modality in
+        [multimodal, audio, video, text] order, and EACH call overwrites
+        EVERY modality's centers with that iteration's label mask — so
+        after the loop all centers are keyed by the LAST modality's (text)
+        labels, not each modality's own. Reproduced exactly; a per-modality
+        labels version would diverge from the reference's label-refinement
+        trajectory."""
+        order = [
+            m for m in ("multimodal", "audio", "video", "text")
+            if m in self.labels
+        ] or list(self.labels)
+        last_labels = self.labels[order[-1]]
         pos_new, neg_new = dict(self.centers_pos), dict(self.centers_neg)
         for m, feats in self.features.items():
-            labels = self.labels[m]
+            labels = last_labels
             pos_mask = (labels > 0) if exclude_zero else (labels >= 0)
             neg_mask = labels < 0
             pos_cnt = jnp.sum(pos_mask)

@@ -210,3 +210,36 @@ class TestDualCMAM:
         state, _ = train(state, batch, RNG)
         after = jax.tree_util.tree_leaves(task.base_variables)[0]
         np.testing.assert_array_equal(before, after)
+
+
+class TestSampleMask:
+    def test_padded_rows_do_not_change_any_loss_term(self):
+        """Every CMAMLoss term (incl. the pairwise MMD and the moment/MI
+        batch statistics) must exclude zero-padded tail rows — a padded
+        batch's loss equals the unpadded batch's (the torch reference feeds
+        ragged tail batches and never sees padding)."""
+        rng = np.random.default_rng(5)
+        p = rng.normal(size=(5, 16)).astype(np.float32)
+        t = rng.normal(size=(5, 16)).astype(np.float32)
+        y = rng.integers(0, 4, size=5)
+        logits = rng.normal(size=(5, 4)).astype(np.float32)
+        loss = CMAMLoss(
+            mmd_weight=0.5, moment_weight=0.5, cls_weight=0.1, num_moments=2
+        )
+        real = loss(
+            jnp.asarray(p), jnp.asarray(t),
+            cls_logits=jnp.asarray(logits), cls_labels=jnp.asarray(y),
+        )
+        pad = lambda a: jnp.concatenate(
+            [jnp.asarray(a), jnp.zeros((3,) + a.shape[1:], a.dtype)]
+        )
+        padded = loss(
+            pad(p), pad(t),
+            cls_logits=pad(logits), cls_labels=pad(y.astype(np.int32)),
+            sample_mask=jnp.asarray([1.0] * 5 + [0.0] * 3),
+        )
+        for k in real:
+            np.testing.assert_allclose(
+                float(padded[k]), float(real[k]), rtol=1e-5,
+                err_msg=f"term {k} shifted under padding",
+            )

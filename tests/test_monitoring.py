@@ -82,6 +82,69 @@ def monitored_run(tmp_path_factory):
     return tmp_path / "monitor_data.h5"
 
 
+class TestReferenceSemantics:
+    """Reference-parity behaviors of the monitor itself
+    (monitoring/monitor.py in the reference)."""
+
+    def test_exclude_wins_over_include(self, tmp_path):
+        cfg = MonitorConfig(enabled=True, include_layers=["encoder"])
+        mon = ExperimentMonitor(cfg, str(tmp_path))
+        assert mon._keep("encoder/fc_0/kernel")
+        # default exclusions apply even inside an include match (:94-99)
+        assert not mon._keep("encoder/bn_1/scale")
+        assert not mon._keep("head/kernel")  # not included
+        mon.close()
+
+    def test_capture_fires_at_step_zero(self, tmp_path):
+        """step_count starts at 0 and advances AFTER the batch, so the
+        initial-gradient snapshot is captured."""
+        cfg = MonitorConfig(enabled=True, gradient_interval=100)
+        mon = ExperimentMonitor(cfg, str(tmp_path))
+        assert mon.want_gradients  # step 0
+        mon.step()
+        assert not mon.want_gradients  # step 1
+        for _ in range(99):
+            mon.step()
+        assert mon.want_gradients  # step 100
+        mon.close()
+
+    def test_flush_interval_persists_buffered_records(self, tmp_path):
+        import h5py
+
+        cfg = MonitorConfig(enabled=True, buffer_size=1000, flush_interval=2)
+        mon = ExperimentMonitor(cfg, str(tmp_path))
+        mon.start_epoch(1)
+        mon.storage.append("gradients", "epoch_1/step_0/x",
+                           np.zeros(3, np.float32), {})
+        mon.step()
+        mon.step()  # hits flush_interval — record must be on disk
+        with h5py.File(tmp_path / "monitor_data.h5", "r") as f:
+            assert "epoch_1/step_0/x" in f["gradients"]
+        mon.close()
+
+    def test_resume_appends_instead_of_truncating(self, tmp_path):
+        import h5py
+
+        cfg = MonitorConfig(enabled=True)
+        mon = ExperimentMonitor(cfg, str(tmp_path))
+        mon.storage.append("gradients", "epoch_1/step_0/x",
+                           np.zeros(3, np.float32), {})
+        mon.close()
+        # a --resume run must keep epoch 1's capture
+        mon2 = ExperimentMonitor(cfg, str(tmp_path), resume=True)
+        mon2.storage.append("gradients", "epoch_2/step_0/x",
+                            np.ones(3, np.float32), {})
+        mon2.close()
+        with h5py.File(tmp_path / "monitor_data.h5", "r") as f:
+            assert "epoch_1/step_0/x" in f["gradients"]
+            assert "epoch_2/step_0/x" in f["gradients"]
+        # without resume the file is truncated (fresh run semantics)
+        mon3 = ExperimentMonitor(cfg, str(tmp_path))
+        mon3.close()
+        with h5py.File(tmp_path / "monitor_data.h5", "r") as f:
+            assert "epoch_1/step_0/x" not in f["gradients"]
+
+
 class TestAnalyserDepth:
     def test_gradient_stats_have_reference_measures(self, monitored_run):
         with MonitoringAnalyser(monitored_run) as an:

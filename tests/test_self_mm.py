@@ -253,3 +253,30 @@ class TestBertIngestion:
         assert any("RANDOMLY INITIALIZED" in r.message for r in caplog.records)
         out = enc.apply(params, text)
         assert out.shape == (2, 8, 32)
+
+
+def test_update_centers_uses_last_modality_labels_quirk():
+    """Faithful quirk (reference self_mm.py:421-424): _update_centers
+    overwrites EVERY modality's centers once per modality in
+    [multimodal, audio, video, text] order, so all centers end up masked by
+    the TEXT label bank — not each modality's own labels."""
+    m = ManagerState.create(
+        num_samples=4, modality_dims={"multimodal": 2, "audio": 2, "text": 2}
+    )
+    feats = {
+        "multimodal": jnp.asarray([[1.0, 0], [2, 0], [3, 0], [4, 0]]),
+        "audio": jnp.asarray([[10.0, 0], [20, 0], [30, 0], [40, 0]]),
+        "text": jnp.asarray([[5.0, 0], [6, 0], [7, 0], [8, 0]]),
+    }
+    labels = {
+        # audio labels would pick rows {0,1} positive; text picks {2,3}
+        "multimodal": jnp.asarray([1.0, 1, -1, -1]),
+        "audio": jnp.asarray([1.0, 1, -1, -1]),
+        "text": jnp.asarray([-1.0, -1, 1, 1]),
+    }
+    m = m.replace(features=feats, labels=labels)
+    m = m.update_centers()
+    # audio centers keyed by TEXT labels: pos = mean(rows 2,3) = 35
+    np.testing.assert_allclose(np.asarray(m.centers_pos["audio"])[0], 35.0)
+    np.testing.assert_allclose(np.asarray(m.centers_neg["audio"])[0], 15.0)
+    np.testing.assert_allclose(np.asarray(m.centers_pos["multimodal"])[0], 3.5)

@@ -222,3 +222,44 @@ class TestFusedLSTMInterop:
         a = enc.apply({"params": state.params}, x, train=False)
         b = enc.apply({"params": restored.params}, x, train=False)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dense_named_fc_without_conv_flatten_is_not_permuted(tmp_path):
+    """The flatten-permutation allowlist must not scramble a Dense that
+    merely SHARES the name fc/fc1 (ResNet's pooled fc at in=512,
+    LSTMClassifier's fc1 at hidden size): only exact known conv-flatten
+    geometries permute."""
+    import flax.linen as nn
+    import torch
+
+    from mmtpu.checkpoints.torch_interop import load_torch_checkpoint
+
+    class TorchHead(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc = torch.nn.Linear(512, 10)   # 512 % 64 == 0: the old
+            self.fc1 = torch.nn.Linear(128, 4)   # heuristic would scramble
+
+    th = TorchHead()
+    pth = tmp_path / "head.pth"
+    torch.save(th.state_dict(), pth)
+
+    class FlaxHead(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(10, name="fc")(x), nn.Dense(4, name="fc1")(
+                x[:, :128]
+            )
+
+    import jax
+
+    v = FlaxHead().init(jax.random.PRNGKey(0), jnp.zeros((1, 512)))
+    params = load_torch_checkpoint(pth, v["params"])
+    np.testing.assert_array_equal(
+        np.asarray(params["fc"]["kernel"]),
+        th.fc.weight.detach().numpy().T,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(params["fc1"]["kernel"]),
+        th.fc1.weight.detach().numpy().T,
+    )
