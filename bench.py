@@ -10,6 +10,8 @@ Prints ONE JSON line with the headline metric plus companion fields:
   canary_tflops            median canary across windows
   mosi_uttfusion_step_ms   second tracked workload (BASELINE.md: MOSI step
                            time) at the reference's batch 32 / T=50 shapes
+  mosi_vs_baseline         torch-CPU UttFusion step-time ratio (scripts/
+                           torch_cpu_baseline.py --mosi, ~249 ms/step)
 
 Workload = the reference's north-star configuration (BASELINE.md):
 ResNet18 audio encoder (hidden 64) + ResNet34 image encoder (hidden 128) +
@@ -50,6 +52,7 @@ import sys
 import time
 
 TORCH_CPU_SAMPLES_PER_SEC = 67.2  # scripts/torch_cpu_baseline.py, 20 steps, B=128
+TORCH_CPU_MOSI_STEP_MS = 249.0  # scripts/torch_cpu_baseline.py --mosi, B=32 T=50
 V5E_PEAK_FLOPS = 197e12  # bf16 peak per chip
 QUIET_CANARY_TFLOPS = 185.0  # quiet-chip canary (measured 170-190 idle)
 
@@ -343,6 +346,11 @@ def main() -> None:
                     1000.0 * mosi_B / mm["normalized"], 3
                 ),
                 "mosi_batch": mosi_B,
+                # vs the torch-CPU UttFusion step at the same shapes
+                # (scripts/torch_cpu_baseline.py --mosi)
+                "mosi_vs_baseline": round(
+                    TORCH_CPU_MOSI_STEP_MS / (1000.0 * mosi_B / mm["best"]), 2
+                ),
             }
         )
     )

@@ -1,12 +1,19 @@
-"""Measure the PyTorch-CPU baseline for bench.py's vs_baseline ratio.
+"""Measure the PyTorch-CPU baselines for bench.py's vs_baseline ratios.
 
-Builds a torch model equivalent to the reference's north-star AVMNIST
-configuration (ResNet18 audio encoder hidden 64 + ResNet34 image encoder
-hidden 128 + concat fusion MLP, batch 128 — see BASELINE.md) and times
-train steps on CPU. The measured samples/sec goes into bench.py as the
-denominator constant.
+Default mode builds a torch model equivalent to the reference's north-star
+AVMNIST configuration (ResNet18 audio encoder hidden 64 + ResNet34 image
+encoder hidden 128 + concat fusion MLP, batch 128 — see BASELINE.md) and
+times train steps on CPU. The measured samples/sec goes into bench.py as
+the denominator constant.
 
-Usage: python scripts/torch_cpu_baseline.py [steps]
+`--mosi` instead times the reference's MOSI UttFusion step at its published
+shapes (LSTM(5->64) audio + LSTM(20->64) video + TextCNN(768, 128ch,
+k=3/4/5 -> 64) text + FcClassifier(192->[192,64,32]->3), batch 32, T=50 —
+models/msa/utt_fusion.py + configs/mosi/centralised/
+utt_fusion_base_training.yaml). Its ms/step feeds bench.py's
+mosi_vs_baseline.
+
+Usage: python scripts/torch_cpu_baseline.py [steps] [--mosi]
 """
 
 import sys
@@ -71,8 +78,65 @@ class Fusion(nn.Module):
         return self.net(torch.cat([self.audio(a), self.image(i)], dim=1))
 
 
+class UttFusion(nn.Module):
+    """Reference UttFusionModel shape-equivalent (utt_fusion.py:25-142):
+    last-hidden LSTM encoders, 3-kernel TextCNN, 3-layer FC classifier."""
+
+    def __init__(self):
+        super().__init__()
+        self.netA = nn.LSTM(5, 64, batch_first=True)
+        self.netV = nn.LSTM(20, 64, batch_first=True)
+        self.convs = nn.ModuleList(
+            [nn.Conv2d(1, 128, (k, 768)) for k in (3, 4, 5)]
+        )
+        self.text_fc = nn.Sequential(nn.Linear(3 * 128, 64), nn.ReLU())
+        self.netC = nn.Sequential(
+            nn.Linear(192, 192), nn.ReLU(), nn.Dropout(0.5),
+            nn.Linear(192, 64), nn.ReLU(), nn.Dropout(0.5),
+            nn.Linear(64, 32), nn.ReLU(), nn.Dropout(0.5),
+            nn.Linear(32, 3),
+        )
+
+    def forward(self, a, v, t):
+        _, (ha, _) = self.netA(a)
+        _, (hv, _) = self.netV(v)
+        x = t.unsqueeze(1)
+        feats = [torch.relu(c(x)).squeeze(3).max(dim=2).values for c in self.convs]
+        ht = self.text_fc(torch.cat(feats, dim=1))
+        return self.netC(torch.cat([ha[-1], hv[-1], ht], dim=1))
+
+
+def main_mosi(steps: int) -> None:
+    torch.manual_seed(0)
+    model = UttFusion()
+    opt = torch.optim.Adam(model.parameters(), lr=2e-3)
+    loss_fn = nn.CrossEntropyLoss()
+    B, T = 32, 50
+    a = torch.randn(B, T, 5)
+    v = torch.randn(B, T, 20)
+    t = torch.randn(B, T, 768)
+    y = torch.randint(0, 3, (B,))
+    model.train()
+    for _ in range(5):  # warmup
+        opt.zero_grad(); loss_fn(model(a, v, t), y).backward(); opt.step()
+    t0 = time.time()
+    for _ in range(steps):
+        opt.zero_grad()
+        loss_fn(model(a, v, t), y).backward()
+        opt.step()
+    dt = time.time() - t0
+    print(
+        f"torch-cpu mosi uttfusion: {steps} steps in {dt:.2f}s -> "
+        f"{1000 * dt / steps:.2f} ms/step ({steps * B / dt:.1f} samples/sec)"
+    )
+
+
 def main():
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    args = [a for a in sys.argv[1:] if a != "--mosi"]
+    steps = int(args[0]) if args else 20
+    if "--mosi" in sys.argv:
+        main_mosi(steps)
+        return
     torch.manual_seed(0)
     model = Fusion()
     opt = torch.optim.Adam(model.parameters(), lr=5e-4, weight_decay=1e-4)
