@@ -224,7 +224,11 @@ def lstm_sequence(
     Shape-dispatched: the Pallas kernel runs where it measurably wins
     (small H / long T — see module header) AND fits VMEM; XLA scan
     elsewhere."""
-    if jax.default_backend() != "tpu":
+    import mmtpu.ops as _ops
+
+    # xla_forced: mmtpu.serving.export traces through the XLA scan so
+    # multi-platform / symbolic-batch artifacts never embed Pallas
+    if _ops.xla_forced() or jax.default_backend() != "tpu":
         return _xla_lstm(xw, wh, h0, c0, lengths)
     H, T = wh.shape[0], xw.shape[1]
     B = xw.shape[0]
