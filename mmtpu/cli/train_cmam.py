@@ -31,7 +31,16 @@ console = get_console()
 
 
 def main(argv=None) -> int:
-    args = common.standard_arg_parser(__doc__).parse_args(argv)
+    parser = common.standard_arg_parser(__doc__)
+    parser.add_argument(
+        "--export-serving", "--export_serving", dest="export_serving",
+        default=None, metavar="PATH",
+        help="After training/test, export the (best-checkpoint) CMAM + "
+             "frozen base as ONE missing-modality serving artifact "
+             "(mmtpu.serving.export_cmam: available modalities in → "
+             "imputed embedding + class scores out)",
+    )
+    args = parser.parse_args(argv)
     common.apply_platform(args)
     cfg = CMAMConfig.load(args.config, run_id=args.run_id)
     cfg.logging.create_directories()
@@ -199,6 +208,26 @@ def main(argv=None) -> int:
         loop.test(
             splits=[s for s in loaders if s not in ("train", "validation")]
         )
+
+    if args.export_serving:
+        try:
+            loop.state = loop.ckpt.load_checkpoint(loop.state, "best")
+        except FileNotFoundError:
+            console.warning("no best checkpoint — exporting current params")
+        from mmtpu.serving import export_cmam
+
+        example = next(iter(any_split))
+        example_batch = {
+            m: np.asarray(example[m]) for m in task.input_modalities
+        }
+        cmam_vars = {"params": loop.state.params}
+        if loop.state.batch_stats:
+            cmam_vars["batch_stats"] = loop.state.batch_stats
+        out_path = export_cmam(
+            task, cmam_vars, example_batch, args.export_serving,
+            extra_meta={"config": str(args.config)},
+        )
+        console.success(f"missing-modality serving artifact → {out_path}")
 
     # final report emits {train,validation,test}_metrics.json in the
     # reference record schema: nested group dicts + loss + per-term

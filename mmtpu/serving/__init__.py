@@ -21,8 +21,10 @@ from mmtpu.serving.batcher import MicroBatcher
 from mmtpu.serving.export import (
     Predictor,
     ServedModel,
+    export_cmam,
     export_task,
     load_artifact,
+    make_cmam_serving_fn,
     make_serving_fn,
 )
 
@@ -30,7 +32,9 @@ __all__ = [
     "MicroBatcher",
     "Predictor",
     "ServedModel",
+    "export_cmam",
     "export_task",
     "load_artifact",
+    "make_cmam_serving_fn",
     "make_serving_fn",
 ]

@@ -94,12 +94,12 @@ class Predictor:
         return {k: np.asarray(v) for k, v in out.items()}
 
 
-def _input_specs(task, example_batch, symbolic_batch: bool):
+def _input_specs(input_keys, example_batch, symbolic_batch: bool):
     from jax import export as jexport
 
     specs, shapes, dtypes = [], [], []
     b = jexport.symbolic_shape("b")[0] if symbolic_batch else None
-    for key in task.input_keys:
+    for key in input_keys:
         arr = np.asarray(example_batch[key])
         shape = ((b,) if symbolic_batch else (arr.shape[0],)) + arr.shape[1:]
         specs.append(jax.ShapeDtypeStruct(shape, arr.dtype))
@@ -108,47 +108,38 @@ def _input_specs(task, example_batch, symbolic_batch: bool):
     return specs, shapes, dtypes
 
 
-def export_task(
-    task,
-    variables,
+def _export_fn(
+    fn,
+    input_keys: Sequence[str],
     example_batch: Dict[str, Any],
     path: str | Path,
-    *,
-    platforms: Sequence[str] = ("cpu", "tpu"),
-    symbolic_batch: bool = True,
-    extra_meta: Optional[Dict[str, Any]] = None,
+    meta: Dict[str, Any],
+    platforms: Sequence[str],
+    symbolic_batch: bool,
 ) -> Path:
-    """Export a trained task to a self-contained serving artifact.
-
-    example_batch supplies per-input shapes/dtypes (only trailing dims are
-    kept when symbolic_batch=True). Returns the written path."""
+    """Shared artifact writer: trace `fn` under the XLA-only override,
+    serialize, and write MAGIC|meta|blob atomically."""
     from jax import export as jexport
 
     import mmtpu.ops as ops
 
-    fn = make_serving_fn(task, variables)
-    specs, shapes, dtypes = _input_specs(task, example_batch, symbolic_batch)
+    specs, shapes, dtypes = _input_specs(input_keys, example_batch,
+                                         symbolic_batch)
     with ops.xla_only():
         exported = jexport.export(jax.jit(fn), platforms=tuple(platforms))(
             *specs
         )
     blob = exported.serialize()
-
     meta = {
         "format": "mmtpu-serve-1",
-        "input_keys": [str(k) for k in task.input_keys],
+        "input_keys": [str(k) for k in input_keys],
         "input_shapes": shapes,
         "input_dtypes": dtypes,
-        "outputs": ["logits", "preds", "probs"],
-        "multilabel": bool(getattr(task, "multilabel", False)),
-        "binary_threshold": float(getattr(task, "binary_threshold", 0.5)),
         "platforms": list(platforms),
         "symbolic_batch": bool(symbolic_batch),
         "jax_version": jax.__version__,
-        "model": type(task.model).__name__,
+        **meta,
     }
-    if extra_meta:
-        meta.update(extra_meta)
     meta_bytes = json.dumps(meta).encode()
 
     path = Path(path)
@@ -161,6 +152,106 @@ def export_task(
         f.write(blob)
     tmp.replace(path)
     return path
+
+
+def export_task(
+    task,
+    variables,
+    example_batch: Dict[str, Any],
+    path: str | Path,
+    *,
+    platforms: Sequence[str] = ("cpu", "tpu"),
+    symbolic_batch: bool = True,
+    extra_meta: Optional[Dict[str, Any]] = None,
+) -> Path:
+    """Export a trained classification task to a serving artifact.
+
+    example_batch supplies per-input shapes/dtypes (only trailing dims are
+    kept when symbolic_batch=True). Returns the written path."""
+    meta = {
+        "task_type": "classification",
+        "outputs": ["logits", "preds", "probs"],
+        "multilabel": bool(getattr(task, "multilabel", False)),
+        "binary_threshold": float(getattr(task, "binary_threshold", 0.5)),
+        "model": type(task.model).__name__,
+        **(extra_meta or {}),
+    }
+    return _export_fn(
+        make_serving_fn(task, variables), task.input_keys, example_batch,
+        path, meta, platforms, symbolic_batch,
+    )
+
+
+def make_cmam_serving_fn(task, cmam_variables) -> Callable[..., Dict[str, jnp.ndarray]]:
+    """Missing-modality inference closure for a trained C-MAM.
+
+    Positional inputs = the AVAILABLE modalities (`task.input_modalities`
+    order). The missing target modality's embedding is imputed by the CMAM
+    and classification runs through the frozen base model with the
+    reconstruction substituted (train/cmam_step.CMAMTask.teacher_classify)
+    — the thesis's deployment scenario: serve a multimodal model when one
+    modality is absent at request time. Dual C-MAM tasks (one input, two
+    reconstructed targets) are handled transparently."""
+    from mmtpu.train.cmam_step import DualCMAMTask
+
+    dual = isinstance(task, DualCMAMTask)
+
+    def fn(*inputs):
+        batch = {m: x for m, x in zip(task.input_modalities, inputs)}
+        if dual:
+            rec_one, rec_two = task.cmam_model.apply(
+                cmam_variables, batch[task.input_modalities[0]], train=False
+            )
+            logits = task.teacher_classify_dual(rec_one, rec_two, batch)
+            rec = {"rec_embd": rec_one, "rec_embd_two": rec_two}
+        else:
+            rec_embd = task.cmam_model.apply(
+                cmam_variables,
+                {m: batch[m] for m in task.input_modalities},
+                train=False,
+            )
+            logits = task.teacher_classify(rec_embd, batch)
+            rec = {"rec_embd": rec_embd}
+        return {
+            "logits": logits,
+            "preds": jnp.argmax(logits, axis=-1),
+            "probs": jax.nn.softmax(logits, axis=-1),
+            **rec,
+        }
+
+    return fn
+
+
+def export_cmam(
+    task,
+    cmam_variables,
+    example_batch: Dict[str, Any],
+    path: str | Path,
+    *,
+    platforms: Sequence[str] = ("cpu", "tpu"),
+    symbolic_batch: bool = True,
+    extra_meta: Optional[Dict[str, Any]] = None,
+) -> Path:
+    """Export a trained C-MAM + frozen base as ONE missing-modality serving
+    artifact: available modalities in → imputed embedding + class scores
+    out. Both networks' parameters are baked into the StableHLO blob."""
+    from mmtpu.train.cmam_step import DualCMAMTask
+
+    targets = [str(task.target_modality)]
+    if isinstance(task, DualCMAMTask):
+        targets.append(str(task.target_modality_two))
+    meta = {
+        "task_type": "cmam",
+        "outputs": ["logits", "preds", "probs", "rec_embd"],
+        "imputes": targets,
+        "base_model": str(task.base_model_type),
+        "model": type(task.cmam_model).__name__,
+        **(extra_meta or {}),
+    }
+    return _export_fn(
+        make_cmam_serving_fn(task, cmam_variables), task.input_modalities,
+        example_batch, path, meta, platforms, symbolic_batch,
+    )
 
 
 @dataclasses.dataclass

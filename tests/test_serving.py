@@ -177,6 +177,54 @@ class TestExportArtifact:
             )
 
 
+class TestCMAMExport:
+    def test_missing_modality_artifact(self, tmp_path):
+        """A trained C-MAM + frozen base export to ONE artifact: the
+        available modality in → imputed target embedding + class scores,
+        matching the eval-step reconstruction/classification exactly, at
+        multiple (symbolic) batch sizes."""
+        from test_cmam import build_task, make_batch
+
+        from mmtpu.serving import export_cmam, load_artifact
+        from mmtpu.serving.export import make_cmam_serving_fn
+        from mmtpu.train.cmam_step import make_cmam_eval_step
+
+        task, state, batch, _ = build_task()
+        cmam_vars = {"params": state.params}
+        if state.batch_stats:
+            cmam_vars["batch_stats"] = state.batch_stats
+        path = export_cmam(
+            task, cmam_vars, {"audio": np.asarray(batch["audio"])},
+            tmp_path / "cmam.mmx", platforms=("cpu",),
+        )
+        served = load_artifact(path)
+        assert served.meta["task_type"] == "cmam"
+        assert served.meta["imputes"] == ["image"]
+        assert served.meta["input_keys"] == ["audio"]
+
+        # parity vs the eval step's reconstruction + teacher classification
+        # on the SAME inputs (full-keep masks in the eval batch)
+        eval_out = make_cmam_eval_step(task)(state, batch)
+        got = served(audio=np.asarray(batch["audio"]))
+        np.testing.assert_allclose(
+            got["rec_embd"], np.asarray(eval_out["rec_embd"]),
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_array_equal(got["preds"],
+                                      np.asarray(eval_out["preds"]))
+
+        # symbolic batch: a different batch size through the same artifact
+        g = np.random.default_rng(21)
+        a3 = g.normal(size=(3, 32, 94, 1)).astype(np.float32)
+        got3 = served(audio=a3)
+        want3 = make_cmam_serving_fn(task, cmam_vars)(a3)
+        np.testing.assert_allclose(
+            got3["logits"], np.asarray(want3["logits"]),
+            rtol=1e-5, atol=1e-6,
+        )
+        assert got3["rec_embd"].shape == (3, 16)
+
+
 class TestMicroBatcher:
     def test_matches_direct_and_batches(self):
         task, variables = _tiny_task()
