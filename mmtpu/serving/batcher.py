@@ -77,6 +77,16 @@ class MicroBatcher:
         self._closed = True
         self._q.put(None)  # sentinel
         self._worker.join()
+        # a submit() that passed the closed check concurrently with close()
+        # may have enqueued after the worker's final drain — fail those
+        # futures rather than leaving their callers waiting forever
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item[1].set_exception(RuntimeError("MicroBatcher is closed"))
 
     def __enter__(self) -> "MicroBatcher":
         return self
