@@ -238,6 +238,13 @@ class CheckpointManager:
                 raise FileNotFoundError(f"No checkpoints in {self.model_dir}")
         elif which == "best":
             path = self.model_dir / "best.ckpt"
+        elif "/" in str(which) or str(which).endswith((".ckpt", ".pth")):
+            # explicit checkpoint path (predict/serve CLIs advertise it);
+            # .pth names resolve to their .ckpt sibling like every other
+            # pretrained_path consumer
+            path = resolve_checkpoint_path(which)
+            if not path.is_absolute():
+                path = Path.cwd() / path
         else:
             path = self.model_dir / f"{which}.ckpt"
         target = {

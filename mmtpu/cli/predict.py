@@ -76,8 +76,12 @@ def build_task_and_state(cfg, args):
     mods = modalities_for_model(cfg.model.model_type)
     model = common.build_model_from_config(cfg.model)
 
+    # build only the requested split's loaders: build_all_loaders gates
+    # train/validation behind is_train, so --split validation needs it on
     loaders = cfg.data.build_all_loaders(
-        is_train=False, is_test=True, seed=cfg.experiment.seed
+        is_train=args.split in ("train", "trn", "validation"),
+        is_test=True,
+        seed=cfg.experiment.seed,
     )
     if args.split not in loaders:
         raise SystemExit(

@@ -147,6 +147,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(404, {"error": f"unknown path {self.path}"})
         except KeyError as e:
             self._send(400, {"error": f"missing input {e}; expected {keys}"})
+        except ValueError as e:  # shape contract violations → client error
+            self._send(400, {"error": str(e)})
         except Exception as e:  # surface, keep serving
             self._send(500, {"error": str(e)})
 
@@ -164,9 +166,17 @@ def make_server(
     port=0 binds an ephemeral port (tests); server.server_address has it."""
     from mmtpu.serving import MicroBatcher
 
+    # pass the artifact's trailing-dim contract so a mis-shaped request is
+    # rejected at submit (400) instead of failing its whole co-batched group
+    shapes = None
+    if meta.get("input_shapes"):
+        shapes = {
+            k: [d for d in dims[1:]]
+            for k, dims in zip(meta["input_keys"], meta["input_shapes"])
+        }
     batcher = MicroBatcher(
         predict, meta["input_keys"], max_batch=max_batch,
-        max_wait_ms=max_wait_ms,
+        max_wait_ms=max_wait_ms, input_shapes=shapes,
     )
     handler = type(
         "BoundHandler", (_Handler,),
@@ -179,10 +189,11 @@ def make_server(
 
 def main(argv=None) -> int:
     args = arg_parser().parse_args(argv)
-    if args.config:
-        from mmtpu.cli import common
+    # --cpu and the compile cache apply in BOTH modes — an artifact lowered
+    # for cpu+tpu picks the default backend at call time
+    from mmtpu.cli import common
 
-        common.apply_platform(args)
+    common.apply_platform(args)
     predict, meta = _load_model(args)
     server, batcher = make_server(
         predict, meta, host=args.host, port=args.port,

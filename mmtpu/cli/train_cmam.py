@@ -126,6 +126,11 @@ def main(argv=None) -> int:
     )
     loss = cmam_term.loss_fn if cmam_term else CMAMLoss()
 
+    # predictions follow the BASE model's logits_transform (reference
+    # cmams.py:239-243): multilabel sigmoid+threshold for MM-IMDb
+    multilabel = cfg.model.model_type.lower() == "mmimdb"
+    binary_threshold = float(cfg.model.kwargs.get("binary_threshold", 0.5))
+
     if is_dual:
         from mmtpu.train.cmam_step import (
             DualCMAMTask,
@@ -147,6 +152,8 @@ def main(argv=None) -> int:
             ),
             loss=loss,
             labels_key="labels",
+            multilabel=multilabel,
+            binary_threshold=binary_threshold,
         )
         step_builders = (make_dual_cmam_train_step, make_dual_cmam_eval_step)
     else:
@@ -159,6 +166,8 @@ def main(argv=None) -> int:
             target_modality=target_modality,
             loss=loss,
             labels_key="labels",
+            multilabel=multilabel,
+            binary_threshold=binary_threshold,
         )
         step_builders = (make_cmam_train_step, make_cmam_eval_step)
 

@@ -19,7 +19,7 @@ import queue
 import threading
 import time
 from concurrent.futures import Future
-from typing import Any, Callable, Dict, Sequence
+from typing import Any, Callable, Dict, Optional, Sequence
 
 import numpy as np
 
@@ -39,15 +39,25 @@ class MicroBatcher:
         *,
         max_batch: int = 64,
         max_wait_ms: float = 5.0,
+        input_shapes: Optional[Dict[str, Sequence[int]]] = None,
     ) -> None:
+        """input_shapes: optional {key: trailing dims} contract. When set,
+        submit() rejects mis-shaped samples up front — otherwise one
+        malformed request would fail np.stack for its whole co-batched
+        group."""
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self.predict_fn = predict_fn
         self.input_keys = tuple(str(k) for k in input_keys)
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1000.0
+        self.input_shapes = (
+            {str(k): tuple(v) for k, v in input_shapes.items()}
+            if input_shapes else None
+        )
         self._q: "queue.Queue" = queue.Queue()
         self._closed = False
+        self._lock = threading.Lock()
         self.stats = {"requests": 0, "batches": 0, "rows": 0, "padded_rows": 0}
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
@@ -57,13 +67,25 @@ class MicroBatcher:
     def submit(self, sample: Dict[str, Any]) -> Future:
         """Enqueue one UNBATCHED sample ({input_key: array}); returns a
         Future resolving to {output_key: row} (no batch dim)."""
-        if self._closed:
-            raise RuntimeError("MicroBatcher is closed")
         missing = [k for k in self.input_keys if k not in sample]
         if missing:
             raise KeyError(f"sample missing inputs {missing}")
+        if self.input_shapes:
+            for key, want in self.input_shapes.items():
+                got = np.shape(sample[key])
+                if tuple(got) != want:
+                    raise ValueError(
+                        f"input {key!r} has shape {tuple(got)}, expected {want}"
+                    )
         fut: Future = Future()
-        self._q.put((sample, fut))
+        # the closed-check and the enqueue are atomic against close()'s
+        # flag+sentinel: without the lock a submit could pass the check,
+        # lose the CPU, and enqueue after the worker's final drain —
+        # leaving its Future unresolved forever
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._q.put((sample, fut))
         return fut
 
     def __call__(self, sample: Dict[str, Any]) -> Dict[str, np.ndarray]:
@@ -72,21 +94,12 @@ class MicroBatcher:
 
     def close(self) -> None:
         """Drain outstanding requests, then stop the worker."""
-        if self._closed:
-            return
-        self._closed = True
-        self._q.put(None)  # sentinel
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(None)  # sentinel — ordered after every accepted put
         self._worker.join()
-        # a submit() that passed the closed check concurrently with close()
-        # may have enqueued after the worker's final drain — fail those
-        # futures rather than leaving their callers waiting forever
-        while True:
-            try:
-                item = self._q.get_nowait()
-            except queue.Empty:
-                break
-            if item is not None:
-                item[1].set_exception(RuntimeError("MicroBatcher is closed"))
 
     def __enter__(self) -> "MicroBatcher":
         return self
@@ -123,7 +136,9 @@ class MicroBatcher:
             if group:
                 self._process(group)
             if done:
-                # resolve anything that raced in after the sentinel
+                # drain anything accepted before the sentinel (submit/close
+                # are lock-ordered, so nothing can arrive after it); process
+                # in max_batch chunks to keep the bucket-shape invariant
                 leftovers = []
                 while True:
                     try:
@@ -132,8 +147,8 @@ class MicroBatcher:
                         break
                     if item is not None:
                         leftovers.append(item)
-                if leftovers:
-                    self._process(leftovers)
+                for i in range(0, len(leftovers), self.max_batch):
+                    self._process(leftovers[i : i + self.max_batch])
                 return
 
     def _process(self, group) -> None:

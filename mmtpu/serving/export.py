@@ -62,6 +62,22 @@ def make_serving_fn(task, variables) -> Callable[..., Dict[str, jnp.ndarray]]:
     return fn
 
 
+def _resolve_inputs(input_keys: Sequence[str], args, kwargs):
+    """Positional-XOR-keyword input resolution shared by Predictor and
+    ServedModel — one place to evolve the calling contract."""
+    inputs = list(args)
+    if kwargs:
+        if inputs:
+            raise TypeError("pass inputs positionally OR by keyword")
+        try:
+            inputs = [kwargs[k] for k in input_keys]
+        except KeyError as e:
+            raise KeyError(
+                f"missing input {e}; expected {tuple(input_keys)}"
+            ) from None
+    return [jnp.asarray(x) for x in inputs]
+
+
 @dataclasses.dataclass
 class Predictor:
     """In-process jitted predictor with host-side outputs.
@@ -80,17 +96,7 @@ class Predictor:
         return tuple(str(k) for k in self.task.input_keys)
 
     def __call__(self, *args, **kwargs) -> Dict[str, np.ndarray]:
-        inputs = list(args)
-        if kwargs:
-            if inputs:
-                raise TypeError("pass inputs positionally OR by keyword")
-            try:
-                inputs = [kwargs[k] for k in self.input_keys]
-            except KeyError as e:
-                raise KeyError(
-                    f"missing input {e}; expected {self.input_keys}"
-                ) from None
-        out = self._fn(*[jnp.asarray(x) for x in inputs])
+        out = self._fn(*_resolve_inputs(self.input_keys, args, kwargs))
         return {k: np.asarray(v) for k, v in out.items()}
 
 
@@ -212,10 +218,18 @@ def make_cmam_serving_fn(task, cmam_variables) -> Callable[..., Dict[str, jnp.nd
             )
             logits = task.teacher_classify(rec_embd, batch)
             rec = {"rec_embd": rec_embd}
+        # preds follow the base model's logits_transform like the train
+        # step (CMAMTask.predictions): multilabel → sigmoid+threshold,
+        # probs per-class sigmoid (a softmax would force BCE-trained genre
+        # scores to sum to 1)
+        probs = (
+            jax.nn.sigmoid(logits) if getattr(task, "multilabel", False)
+            else jax.nn.softmax(logits, axis=-1)
+        )
         return {
             "logits": logits,
-            "preds": jnp.argmax(logits, axis=-1),
-            "probs": jax.nn.softmax(logits, axis=-1),
+            "preds": task.predictions(logits),
+            "probs": probs,
             **rec,
         }
 
@@ -246,6 +260,8 @@ def export_cmam(
         "imputes": targets,
         "base_model": str(task.base_model_type),
         "model": type(task.cmam_model).__name__,
+        "multilabel": bool(getattr(task, "multilabel", False)),
+        "binary_threshold": float(getattr(task, "binary_threshold", 0.5)),
         **(extra_meta or {}),
     }
     return _export_fn(
@@ -266,17 +282,7 @@ class ServedModel:
         return tuple(self.meta["input_keys"])
 
     def __call__(self, *args, **kwargs) -> Dict[str, np.ndarray]:
-        inputs = list(args)
-        if kwargs:
-            if inputs:
-                raise TypeError("pass inputs positionally OR by keyword")
-            try:
-                inputs = [kwargs[k] for k in self.input_keys]
-            except KeyError as e:
-                raise KeyError(
-                    f"missing input {e}; expected {self.input_keys}"
-                ) from None
-        out = self.exported.call(*[jnp.asarray(x) for x in inputs])
+        out = self.exported.call(*_resolve_inputs(self.input_keys, args, kwargs))
         return {k: np.asarray(v) for k, v in out.items()}
 
 

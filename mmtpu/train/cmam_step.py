@@ -42,6 +42,18 @@ class CMAMTask:
     loss: CMAMLoss
     labels_key: str = "labels"
     cls_from_rec: bool = True
+    # the reference uses the BASE model's logits_transform for predictions
+    # (cmams.py:239-243) — sigmoid+threshold for the multilabel MM-IMDb
+    # base (mmimdb.py:152-154), argmax otherwise
+    multilabel: bool = False
+    binary_threshold: float = 0.5
+
+    def predictions(self, logits: jnp.ndarray) -> jnp.ndarray:
+        if self.multilabel:
+            return (
+                jax.nn.sigmoid(logits) > self.binary_threshold
+            ).astype(jnp.int32)
+        return jnp.argmax(logits, axis=-1)
 
     def _kwarg_letters(self) -> Dict[str, str]:
         return FORWARD_KWARGS[self.base_model_type.lower()]
@@ -146,7 +158,7 @@ def make_cmam_train_step(task: CMAMTask) -> Callable:
             "labels": batch.get(task.labels_key),
         }
         if cls_logits is not None:
-            out["preds"] = jnp.argmax(cls_logits, axis=-1)
+            out["preds"] = task.predictions(cls_logits)
         if "pattern_id" in batch:
             out["pattern_id"] = batch["pattern_id"]
         if "sample_mask" in batch:
@@ -180,7 +192,7 @@ def make_cmam_eval_step(task: CMAMTask) -> Callable:
             "labels": batch.get(task.labels_key),
         }
         if cls_logits is not None:
-            out["preds"] = jnp.argmax(cls_logits, axis=-1)
+            out["preds"] = task.predictions(cls_logits)
         if "pattern_id" in batch:
             out["pattern_id"] = batch["pattern_id"]
         if "sample_mask" in batch:
@@ -279,7 +291,7 @@ def make_dual_cmam_train_step(task: DualCMAMTask) -> Callable:
             "labels": batch.get(task.labels_key),
         }
         if cls_logits is not None:
-            out["preds"] = jnp.argmax(cls_logits, axis=-1)
+            out["preds"] = task.predictions(cls_logits)
         if "pattern_id" in batch:
             out["pattern_id"] = batch["pattern_id"]
         if "sample_mask" in batch:
@@ -318,7 +330,7 @@ def make_dual_cmam_eval_step(task: DualCMAMTask) -> Callable:
             "labels": batch.get(task.labels_key),
         }
         if cls_logits is not None:
-            out["preds"] = jnp.argmax(cls_logits, axis=-1)
+            out["preds"] = task.predictions(cls_logits)
         if "pattern_id" in batch:
             out["pattern_id"] = batch["pattern_id"]
         if "sample_mask" in batch:

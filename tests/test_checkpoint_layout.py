@@ -262,3 +262,35 @@ def test_host_cache_dir_is_host_keyed(tmp_path):
     key = d.rsplit("/", 1)[-1]
     assert len(key) == 12 and all(c in "0123456789abcdef" for c in key)
     assert host_cache_dir(str(tmp_path)) == d  # stable on the same host
+
+
+def test_load_checkpoint_accepts_explicit_path(tmp_path):
+    """The predict/serve CLIs advertise '--checkpoint <path>' — an absolute
+    .ckpt path (or a reference-era .pth name with a .ckpt sibling) loads
+    directly instead of being treated as a name under model_dir (which
+    appended a second '.ckpt' and always failed)."""
+    x, lengths = _data()
+    model, variables = _make("fused", 7, x, lengths)
+    tx = optax.adam(1e-3)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx
+    )
+    mgr = CheckpointManager(tmp_path / "runA")
+    mgr.save_checkpoint(state, epoch=3, metric_value=0.5)
+    mgr.wait()
+
+    other = CheckpointManager(tmp_path / "runB")  # unrelated model_dir
+    fresh = TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx
+    )
+    restored = other.load_checkpoint(
+        fresh, str(tmp_path / "runA" / "best.ckpt")
+    )
+    a = jax.tree_util.tree_leaves(restored.params)[0]
+    b = jax.tree_util.tree_leaves(state.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # .pth spelling resolves to the .ckpt sibling (reference configs chain)
+    restored2 = other.load_checkpoint(
+        fresh, str(tmp_path / "runA" / "best.pth")
+    )
+    assert restored2 is not None

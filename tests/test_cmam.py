@@ -243,3 +243,37 @@ class TestSampleMask:
                 float(padded[k]), float(real[k]), rtol=1e-5,
                 err_msg=f"term {k} shifted under padding",
             )
+
+
+class TestMultilabelPredictions:
+    def test_predictions_follow_base_logits_transform(self):
+        """Reference parity (cmams.py:239-243 + mmimdb.py:152-154): a
+        multilabel (MM-IMDb) base model's CMAM records sigmoid+threshold
+        multi-hot predictions, not an argmax class index — argmax preds
+        against multi-hot targets made every multilabel sklearn metric
+        (f1_samples etc.) fail silently at epoch end."""
+        task, state, batch, _ = build_task()
+        logits = jnp.asarray(
+            np.random.default_rng(3).normal(size=(4, 23)), jnp.float32
+        )
+        # default (argmax) path
+        assert task.predictions(logits).shape == (4,)
+        # multilabel path
+        import dataclasses
+
+        ml = dataclasses.replace(task, multilabel=True, binary_threshold=0.5)
+        preds = np.asarray(ml.predictions(logits))
+        assert preds.shape == (4, 23)
+        expected = (1 / (1 + np.exp(-np.asarray(logits))) > 0.5).astype(int)
+        np.testing.assert_array_equal(preds, expected)
+
+    def test_multilabel_preds_flow_through_eval_step(self):
+        import dataclasses
+
+        task, state, batch, _ = build_task()
+        # the tiny base is 10-class AVMNIST; multilabel here just checks
+        # the step threads task.predictions through (shape (B, 10) multi-hot)
+        ml_task = dataclasses.replace(task, multilabel=True)
+        out = make_cmam_eval_step(ml_task)(state, batch)
+        assert out["preds"].shape == (8, 10)
+        assert set(np.unique(np.asarray(out["preds"]))) <= {0, 1}

@@ -297,6 +297,50 @@ class TestMicroBatcher:
             with pytest.raises(KeyError, match="image"):
                 mb.submit({"audio": np.zeros(5, np.float32)})
 
+    def test_shape_contract_rejects_bad_sample(self):
+        """With input_shapes set, a mis-shaped sample fails ITS OWN submit
+        instead of poisoning the whole co-batched group's np.stack."""
+        task, variables = _tiny_task()
+        pred = Predictor(task, variables)
+        with MicroBatcher(pred, task.input_keys, max_batch=8,
+                          max_wait_ms=20.0,
+                          input_shapes={"audio": (5,), "image": (7,)}) as mb:
+            with pytest.raises(ValueError, match="expected \\(5,\\)"):
+                mb.submit({"audio": np.zeros(6, np.float32),
+                           "image": np.zeros(7, np.float32)})
+            # good samples co-submitted around the rejection still resolve
+            b = _batch(2, seed=17)
+            futs = [
+                mb.submit({"audio": b["audio"][i], "image": b["image"][i]})
+                for i in range(2)
+            ]
+            for f in futs:
+                assert f.result(timeout=30)["preds"].shape == ()
+
+    def test_close_drain_respects_max_batch(self):
+        """Requests drained at shutdown are processed in max_batch chunks —
+        never one oversized non-bucket batch (which would force a fresh
+        compile or a hard shape error on fixed-shape artifacts)."""
+        task, variables = _tiny_task()
+        pred = Predictor(task, variables)
+        seen = []
+
+        def recording(*inputs):
+            seen.append(inputs[0].shape[0])
+            return pred(*inputs)
+
+        mb = MicroBatcher(recording, task.input_keys, max_batch=4,
+                          max_wait_ms=10_000.0)  # worker waits; queue piles up
+        b = _batch(10, seed=19)
+        futs = [
+            mb.submit({"audio": b["audio"][i], "image": b["image"][i]})
+            for i in range(10)
+        ]
+        mb.close()
+        for f in futs:
+            assert f.result(timeout=30)["preds"].shape == ()
+        assert max(seen) <= 4
+
 
 @pytest.mark.skipif(not REF.exists(), reason="reference configs absent")
 def test_predict_cli_on_trained_run(tmp_path, capfd):
