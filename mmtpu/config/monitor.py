@@ -1,4 +1,10 @@
-"""Monitoring toggles + intervals (reference: config/monitor_config.py:8-35)."""
+"""Monitoring toggles + intervals (reference: config/monitor_config.py:8-35).
+
+Field-parity note: `weight_interval` and `enable_information_flow` are
+accepted-but-unread IN THE REFERENCE TOO — its monitor tracks weights every
+epoch whenever `enable_weight_tracking` is set (monitor.py:163-167) and
+never reads either field. They are kept here so reference configs load
+unchanged; setting them has no effect in either framework."""
 
 from __future__ import annotations
 

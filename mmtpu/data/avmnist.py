@@ -81,6 +81,13 @@ class AVMNIST(MultimodalArrayDataset):
         self.data_fp = Path(data_fp)
         if not self.data_fp.exists():
             raise FileNotFoundError(f"Data file not found: {data_fp}")
+        # cache identity includes the column selection — keyed on the CSV
+        # bytes alone, a cache built from the default columns would silently
+        # serve an alternate-column request stale data. (.pt files the CSV
+        # points at are NOT hashed: stat'ing 100k files per construction
+        # costs more than the cache saves; regenerate the cache sidecars if
+        # you rewrite tensors in place.)
+        self._cache_cols = (audio_column, image_column, labels_column)
         self._load(audio_column, image_column, labels_column)
         self.initialise_missing_masks()
         logger.info(
@@ -90,9 +97,9 @@ class AVMNIST(MultimodalArrayDataset):
 
     def _digest(self) -> str:
         if not hasattr(self, "_digest_cache"):
-            self._digest_cache = hashlib.sha1(
-                self.data_fp.read_bytes()
-            ).hexdigest()[:12]
+            h = hashlib.sha1(self.data_fp.read_bytes())
+            h.update("|".join(self._cache_cols).encode())
+            self._digest_cache = h.hexdigest()[:12]
         return self._digest_cache
 
     def _cache_path(self) -> Path:

@@ -30,6 +30,11 @@ from mmtpu.modalities import Modality
 
 # below this output size numpy's fancy indexing beats the ctypes round-trip
 NATIVE_MIN_GATHER_BYTES = 1 << 20
+# mask gathers move (batch,) scalars, not rows — the byte gate above would
+# demand batch >= 262144 and made the native mask path unreachable. Measured
+# crossover (uint8 stack (4, 60k), this host): numpy wins <= 1024 rows
+# (13.8 vs 17.4 us), native wins >= 8192 (62.8 vs 26.7 us)
+NATIVE_MIN_MASK_ROWS = 4096
 
 
 class BatchLoader:
@@ -176,9 +181,10 @@ class BatchLoader:
 
             `m` is the dataset-cached uint8 stack (binary keep masks), so
             the native path does no per-call dtype conversion; only the
-            (batch,) output is allocated here. Same size gate as gather():
-            below it the ctypes round-trip costs more than numpy indexing."""
-            if use_native and idx_pad.size * 4 >= NATIVE_MIN_GATHER_BYTES:
+            (batch,) output is allocated here. Row-count gate (see
+            NATIVE_MIN_MASK_ROWS): below it the ctypes round-trip costs
+            more than numpy fancy-indexing."""
+            if use_native and idx_pad.size >= NATIVE_MIN_MASK_ROWS:
                 out = native.gather_mask(m, pids, idx_pad)
                 if out is not None:
                     return out

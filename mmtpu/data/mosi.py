@@ -69,6 +69,9 @@ class MultimodalSentimentDataset(MultimodalArrayDataset):
         self.data_fp = Path(data_fp)
         self.labels_key = labels_key
         self.aligned = aligned
+        # stored-but-unused exactly like the reference (data/mosi.py:82):
+        # `length` never truncates/pads — aligned pickles already carry the
+        # fixed length; `aligned` only gates the per-sample lengths vectors
         self.length = length if aligned else None
         self._load()
         self.initialise_missing_masks()

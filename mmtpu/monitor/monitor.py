@@ -77,15 +77,25 @@ def _leaf_stats(leaf: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def tree_stats(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+def path_name(path) -> str:
+    """Render a tree_flatten_with_path key path as the 'a/b/c' layer name —
+    the ONE naming rule shared by tree_stats and record_weights (a drift
+    between them would silently desynchronize their dict lookups)."""
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+
+def tree_stats(
+    tree: Any, prefix: str = "", keep=None
+) -> Dict[str, np.ndarray]:
     """Per-leaf STAT_COLUMNS vector — computed on device, fetched as one
-    small bundle."""
+    small bundle. `keep(name)` filters BEFORE the device reductions run, so
+    excluded layers (BatchNorm/Dropout by default) cost nothing."""
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
     out = {}
     for path, leaf in flat:
-        name = prefix + "/".join(
-            str(getattr(k, "key", getattr(k, "idx", k))) for k in path
-        )
+        name = prefix + path_name(path)
+        if keep is not None and not keep(name):
+            continue
         out[name] = _leaf_stats(leaf)
     return out
 
@@ -192,17 +202,12 @@ class ExperimentMonitor:
             )
 
     def record_weights(self, params: Any) -> None:
-        host = jax.device_get(tree_stats(params))
+        host = jax.device_get(tree_stats(params, keep=self._keep))
         raw = {}
         flat = jax.tree_util.tree_flatten_with_path(params)[0]
         for path, leaf in flat:
-            name = "/".join(
-                str(getattr(k, "key", getattr(k, "idx", k))) for k in path
-            )
-            raw[name] = leaf
+            raw[path_name(path)] = leaf
         for name, s in host.items():
-            if not self._keep(name):
-                continue
             self.storage.append(
                 "weights",
                 f"epoch_{self.epoch}/{name}",
@@ -235,8 +240,9 @@ class ExperimentMonitor:
             )
         if self.config.enable_layer_convergence:
             # convergence proxy: per-layer weight L2 trajectory, over the
-            # same layer set the weights group records (_keep-filtered)
-            names = sorted(k for k in host if self._keep(k))
+            # same layer set the weights group records (host is already
+            # _keep-filtered by tree_stats)
+            names = sorted(host)
             l2 = np.asarray([host[k][0] for k in names])
             self.storage.append(
                 "convergence", f"epoch_{self.epoch}/weight_l2", l2,

@@ -1,8 +1,10 @@
 """Experiment reports (reference: experiment_utils/experiment_report.py:195-755).
 
 Subreports:
-- MetricsReport (:308)  → train/validation/test_metrics.json with the
-  per-pattern split (`split_missing_conditions` :388),
+- MetricsReport (:308)  → train/validation/test_metrics.json + collected
+  ConfusionMatrix columns saved per split (confusion_matrices_{split}.npy,
+  :332-339,557); the per-pattern split (`split_missing_conditions` :388)
+  feeds the LaTeX report's per-condition tables (:543-549),
 - TimingReport (:455)   → timing.csv (per-epoch phase durations),
 - ModelReport (:435)    → parameter counts / size,
 - EmbeddingVisualizationReport (:410) → PCA scatter of exported embeddings,
@@ -45,6 +47,7 @@ def split_missing_conditions(metrics: Dict[str, Any]) -> Dict[str, Dict[str, Any
 class MetricsReport:
     def __init__(self, output_dir: Path) -> None:
         self.output_dir = Path(output_dir)
+        self.confusion_matrices: Dict[str, Dict[str, list]] = {}
 
     def generate(
         self,
@@ -57,22 +60,32 @@ class MetricsReport:
         'index'/'split' fields, plus 'Epoch' for train/validation."""
         self.output_dir.mkdir(parents=True, exist_ok=True)
         written = {}
+        # ConfusionMatrix columns are popped from the records and collected
+        # per split (reference experiment_report.py:332-339) — the generator
+        # saves them as confusion_matrices_{split}.npy (:557)
+        self.confusion_matrices: Dict[str, Dict[str, list]] = {}
 
-        def drop_cm(m):
-            # reference pops ConfusionMatrix columns from the records
-            # (experiment_report.py:332-339)
-            return {k: v for k, v in m.items() if "ConfusionMatrix" not in k}
+        def drop_cm(split, m):
+            out = {}
+            for k, v in m.items():
+                if "ConfusionMatrix" in k:
+                    self.confusion_matrices.setdefault(split, {}).setdefault(
+                        k, []
+                    ).append(np.asarray(v))
+                else:
+                    out[k] = v
+            return out
 
         # Reference semantics (experiment_report.py:341-375): all splits are
         # concatenated into ONE dataframe (union of columns, NaN→null fill),
         # then split back with reset_index — so 'index' continues across
         # splits and every record carries every split's columns.
         splits: List[tuple] = [
-            (split, [drop_cm(m) for m in history])
+            (split, [drop_cm(split, m) for m in history])
             for split, history in metrics_history.items()
         ]
         for split, metrics in (test_metrics or {}).items():
-            splits.append((split, [drop_cm(metrics)]))
+            splits.append((split, [drop_cm(split, metrics)]))
 
         union: List[str] = []
         for _, records in splits:
@@ -89,7 +102,10 @@ class MetricsReport:
                 row = {"index": offset + i}
                 row.update({k: m.get(k) for k in union})
                 row["split"] = split
-                if split != "test":
+                # the reference adds Epoch to train/validation only
+                # (experiment_report.py:357-361) — test-style splits
+                # (incl. extra eval splits) carry no Epoch column
+                if split in ("train", "validation"):
                     row["Epoch"] = i + 1
                 payload.append(row)
             offset += len(records)
@@ -132,7 +148,12 @@ class ModelReport:
 
         leaves = jax.tree_util.tree_leaves(params)
         total = int(sum(np.size(x) for x in leaves))
-        size_mb = sum(np.size(x) * np.dtype(np.asarray(x).dtype).itemsize for x in leaves) / 2**20
+        # dtype metadata only — np.asarray here would pull every (possibly
+        # sharded) parameter to host just to read itemsize
+        size_mb = sum(
+            np.size(x) * np.dtype(getattr(x, "dtype", np.float32)).itemsize
+            for x in leaves
+        ) / 2**20
         info = {"total_parameters": total, "size_mb": round(size_mb, 3)}
         self.output_dir.mkdir(parents=True, exist_ok=True)
         (self.output_dir / "model_info.json").write_text(json.dumps(info, indent=4))
@@ -189,6 +210,7 @@ Total parameters: %(params)s (%(size)s MB)
 \begin{tabular}{lr}\toprule Metric & Value \\ \midrule
 %(metric_rows)s
 \bottomrule\end{tabular}
+%(condition_sections)s
 \section{Timing}
 Mean train epoch: %(train_time)s s; mean validation epoch: %(val_time)s s.
 \end{document}
@@ -203,17 +225,36 @@ Mean train epoch: %(train_time)s s; mean validation epoch: %(val_time)s s.
         model_info: Dict[str, Any],
         final_metrics: Dict[str, Any],
         timing: Dict[str, List[float]],
+        condition_tables: Optional[Dict[str, Dict[str, Any]]] = None,
     ) -> str:
         rows = "\n".join(
             f"{k.replace('_', r'\_')} & {v:.4f} \\\\"
             for k, v in sorted(final_metrics.items())
             if isinstance(v, (int, float))
         )
+        # per-missing-condition tables (reference adds one table per
+        # (split, condition) from split_missing_conditions' output,
+        # experiment_report.py:543-549)
+        cond_tex = ""
+        for name, metrics in (condition_tables or {}).items():
+            body = "\n".join(
+                f"{k.replace('_', r'\_')} & {v:.4f} \\\\"
+                for k, v in sorted(metrics.items())
+                if isinstance(v, (int, float))
+            )
+            if not body:
+                continue
+            cond_tex += (
+                f"\n\\subsection{{{name.replace('_', r'_')}}}\n"
+                "\\begin{tabular}{lr}\\toprule Metric & Value \\\\ \\midrule\n"
+                f"{body}\n\\bottomrule\\end{{tabular}}\n"
+            )
         tex = self.TEMPLATE % {
             "title": self.title.replace("_", r"\_"),
             "params": model_info.get("total_parameters", "?"),
             "size": model_info.get("size_mb", "?"),
             "metric_rows": rows,
+            "condition_sections": cond_tex,
             "train_time": round(float(np.mean(timing.get("train", [0]) or [0])), 2),
             "val_time": round(float(np.mean(timing.get("validation", [0]) or [0])), 2),
         }
@@ -259,9 +300,19 @@ class ExperimentReportGenerator:
         embeddings_dir: Optional[Path] = None,
     ) -> Dict[str, Any]:
         out: Dict[str, Any] = {}
-        out["metrics"] = MetricsReport(self.metrics_dir).generate(
-            metrics_history, test_metrics
-        )
+        metrics_report = MetricsReport(self.metrics_dir)
+        out["metrics"] = metrics_report.generate(metrics_history, test_metrics)
+        # reference saves the collected ConfusionMatrix columns per split
+        # (experiment_report.py:557-560) — analysis/processing.py's
+        # load_confusion_matrices reads exactly these files
+        for split, cms in metrics_report.confusion_matrices.items():
+            # dict payload → 0-d object array; load_confusion_matrices
+            # reads it back with allow_pickle + .item()
+            np.save(
+                Path(self.metrics_dir) / f"confusion_matrices_{split}.npy",
+                cms,  # type: ignore[arg-type]
+                allow_pickle=True,
+            )
         out["timing"] = TimingReport(self.output_dir).generate(timing_history)
         model_info = ModelReport(self.output_dir).generate(params)
         out["model"] = model_info
@@ -272,8 +323,20 @@ class ExperimentReportGenerator:
         final = {}
         for hist in metrics_history.get("validation", [])[-1:]:
             final = {k: v for k, v in hist.items() if isinstance(v, (int, float))}
+        # per-condition sections: last validation epoch + each test split,
+        # grouped by trailing pattern suffix (reference :369-375,543-549)
+        condition_tables: Dict[str, Dict[str, Any]] = {}
+        sources = {"validation": final}
+        for split, metrics in (test_metrics or {}).items():
+            sources[split] = {
+                k: v for k, v in metrics.items() if isinstance(v, (int, float))
+            }
+        for split, metrics in sources.items():
+            for cond, vals in split_missing_conditions(metrics).items():
+                if cond != "overall":
+                    condition_tables[f"{split}-{cond}"] = vals
         out["latex"] = LatexReport(self.output_dir, self.experiment_name).generate(
-            model_info, final, timing_history
+            model_info, final, timing_history, condition_tables
         )
         return out
 

@@ -141,7 +141,9 @@ def test_avmnist_legacy_npz_converts_to_mmap_sidecars(tmp_path):
     labels = np.arange(5, dtype=np.int64) % 10
     import hashlib
 
-    digest = hashlib.sha1(index.read_bytes()).hexdigest()[:12]
+    h = hashlib.sha1(index.read_bytes())
+    h.update(b"audio|image|label")  # cache identity includes the columns
+    digest = h.hexdigest()[:12]
     np.savez(tmp_path / f"train.{digest}.npz",
              audio=audio, image=image, labels=labels)
 
@@ -154,3 +156,20 @@ def test_avmnist_legacy_npz_converts_to_mmap_sidecars(tmp_path):
     # second construction goes straight to the sidecars
     ds2 = AVMNIST(index, "train")
     assert isinstance(ds2.arrays[Modality.IMAGE], np.memmap)
+
+
+def test_avmnist_cache_keyed_on_column_selection(tmp_path):
+    """The .npy cache identity includes audio/image/labels column names —
+    a cache built from the default columns must NOT be served to a
+    construction requesting different columns (it would silently return
+    the wrong arrays)."""
+    from mmtpu.data.avmnist import AVMNIST
+
+    a = AVMNIST.__new__(AVMNIST)
+    a.data_fp = tmp_path / "x.csv"
+    a.data_fp.write_text("h\n1\n")
+    a._cache_cols = ("audio", "image", "label")
+    b = AVMNIST.__new__(AVMNIST)
+    b.data_fp = a.data_fp
+    b._cache_cols = ("audio", "image", "alt_label")
+    assert a._digest() != b._digest()

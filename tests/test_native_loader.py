@@ -77,6 +77,7 @@ def test_batchloader_batches_identical_native_vs_numpy(
     def batches(cpus):
         monkeypatch.setattr(loader_mod.os, "cpu_count", lambda: cpus)
         monkeypatch.setattr(loader_mod, "NATIVE_MIN_GATHER_BYTES", 0)
+        monkeypatch.setattr(loader_mod, "NATIVE_MIN_MASK_ROWS", 0)
         monkeypatch.setattr(loader_mod.native, "gather_rows", counting_rows)
         monkeypatch.setattr(loader_mod.native, "gather_mask", counting_mask)
         ds = SyntheticAVMNIST(split="test", num_samples=37, seed=3)
