@@ -160,9 +160,9 @@ class AVMNIST(nn.Module):
         # through an eval-mode forward (the CMAM frozen-teacher step) pass
         # False: the kernel's recompute VJP loses in the fwd+bwd regime.
         use_fused = (not train) if fused_head is None else fused_head
-        import mmtpu.ops as _ops
-
-        if use_fused and _jax.default_backend() == "tpu" and not _ops.xla_forced():
+        if use_fused and _jax.default_backend() == "tpu":
+            # fused_mlp itself falls back to XLA under ops.xla_only() (the
+            # serving-export escape hatch) and on non-TPU backends
             from mmtpu.ops.fused_mlp import fused_mlp
 
             return fused_mlp(fused, tuple(ws), tuple(bs))

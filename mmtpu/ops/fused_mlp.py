@@ -105,7 +105,12 @@ def _pallas_forward(x, weights, biases):
 @jax.custom_vjp
 def fused_mlp(x, weights: Tuple, biases: Tuple):
     """ReLU-MLP chain; weights/biases are tuples of (in,out)/(out,) arrays."""
-    if jax.default_backend() != "tpu":
+    import mmtpu.ops as _ops
+
+    # xla_forced: serving export traces through the XLA fallback so
+    # multi-platform / symbolic-batch artifacts never embed Pallas — the
+    # gate lives HERE (mirroring ops/lstm.py) so every caller is covered
+    if _ops.xla_forced() or jax.default_backend() != "tpu":
         return _xla_mlp(x, weights, biases)
     return _pallas_forward(x, weights, biases)
 

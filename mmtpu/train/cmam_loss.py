@@ -98,6 +98,11 @@ class CMAMLoss:
         self.cosine_weight = cosine_weight
         self.mae_weight = mae_weight
         self.mse_weight = mse_weight
+        # rec_weight/maximize_cosine: accepted-but-unused IN THE REFERENCE
+        # TOO (cmam_loss.py:71,79 store them; the maximize_cosine branch is
+        # commented out at :236 and rec_weight never scales the total).
+        # Kept so reference configs construct unchanged; no effect in
+        # either framework.
         self.rec_weight = rec_weight
         self.cls_weight = cls_weight
         self.mmd_weight = mmd_weight

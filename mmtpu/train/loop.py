@@ -36,7 +36,13 @@ console = get_console()
 def _nest_epoch_metrics(flat: Dict[str, Any], style: str = "reference") -> Dict[str, Any]:
     """Reference JSON nesting (train_multimodal.py:640-729): f1_*/MSA_* keys
     under their pattern; style='avmnist' nests EVERY pattern-suffixed metric
-    under its pattern key (train_avmnist.py:595-860 variant)."""
+    under its pattern key (train_avmnist.py:595-860 variant).
+
+    Faithful quirk: the reference takes parts[3] as the MSA pattern
+    (train_multimodal.py:668-671), which is correct only for 4-part keys
+    like MSA_Non0_Accuracy_ATV — a 5-part key such as
+    MSA_Non0_F1_weighted_ATV nests under 'weighted' there too. Reproduced
+    exactly so output JSONs diff clean against reference-produced files."""
     out: Dict[str, Any] = {}
     for key, value in flat.items():
         if key == "loss" or not isinstance(value, (int, float)):
@@ -262,9 +268,8 @@ class TrainLoop:
         else:
             outs = fn(self.state, schedule)
         outs = jax.device_get(outs)
-        key = "validation" if split == "validation" else split
-        if key in self.timing_history:
-            self.timing_history[key].append(time.time() - t0)
+        if split in self.timing_history:
+            self.timing_history[split].append(time.time() - t0)
         flat = {
             k: np.reshape(v, (-1,) + v.shape[2:]) if v is not None else None
             for k, v in outs.items()
@@ -348,9 +353,8 @@ class TrainLoop:
             self._record(self.recorder, out, vocab)
         if losses:
             jax.block_until_ready(losses[-1])
-        key = "validation" if split == "validation" else split
-        if key in self.timing_history:
-            self.timing_history[key].append(time.time() - t0)
+        if split in self.timing_history:
+            self.timing_history[split].append(time.time() - t0)
         return float(np.mean(jax.device_get(losses))) if losses else 0.0
 
     def _vocab(self, vocab: List[str]) -> List[str]:

@@ -158,6 +158,10 @@ _register("l1", l1)
 _register("smooth_l1", smooth_l1)
 _register("kl_div", kl_div)
 _register("huber", huber)
+# registered-but-uncallable through the (preds, targets) term contract,
+# exactly like the reference: torch's CosineEmbeddingLoss needs a third
+# `target` argument its WeightedLossTerm never supplies (loss.py:58), so a
+# config naming 'cosine' fails at the first step in both frameworks
 _register("cosine", cosine_embedding)
 _register("cycle", mse)
 _register("na", identity_loss)

@@ -125,6 +125,11 @@ def make_redcore_train_step(task: RedCoreTask) -> Callable:
             )
 
             def masked_mse(gen, feat, idx):
+                # faithful quirk (reference redcore.py:238-253): torch's
+                # mean-reduced MSE over the FULL batch is divided AGAIN by
+                # the present-sample count, so a modality's term shrinks
+                # with its presence frequency. Reproduced, not "fixed" —
+                # changing it would change the trained loss surface.
                 diff = (gen - feat) * idx[:, None]
                 denom = jnp.maximum(jnp.sum(idx), 1.0)
                 return jnp.mean(diff**2) / denom
@@ -148,6 +153,14 @@ def make_redcore_train_step(task: RedCoreTask) -> Callable:
         new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
 
         # -- adaptive β schedule (on device) ---------------------------------
+        # Faithful quirks from the reference (redcore.py:260-277), kept
+        # bit-for-bit rather than "improved":
+        #  - ra = (avg - total)/avg is a SCALAR identically -2 whenever the
+        #    EMA sum is positive, so rebalance() always clips to 0.1 and
+        #    normalizes β to [1/√3]*3 — the reference's adaptive-β never
+        #    actually rebalances (its ra = float(...) is the same scalar);
+        #  - iter_count starts at 0 and 0 % 500 == 0, so η grows by η_ext
+        #    on the very first step, exactly as the reference does.
         b = task.loss_beta
         upd = jnp.where(mse_vec != 0.0, mse_vec, sched.loss_ema)
         ema = (1.0 - b) * sched.loss_ema + b * upd

@@ -154,7 +154,13 @@ def make_self_mm_eval_step(task: SelfMMTask) -> Callable:
         outputs = task.apply(variables, batch, train=False)
         preds = outputs["predictions"]["multimodal"].reshape(-1)
         labels = batch["labels"].astype(jnp.float32).reshape(-1)
-        loss = jnp.mean(jnp.abs(preds - labels))
+        # padded tail rows (loader duplicates of the last real sample) must
+        # not count toward the validation L1 — save_metric='loss' drives
+        # best-checkpoint selection, early stopping, and the plateau LR
+        from mmtpu.train.losses import _masked_reduce
+
+        loss = _masked_reduce(jnp.abs(preds - labels),
+                              batch.get("sample_mask"))
         out = {"loss": loss, "preds": preds, "labels": batch["labels"]}
         if "pattern_id" in batch:
             out["pattern_id"] = batch["pattern_id"]

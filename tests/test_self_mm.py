@@ -280,3 +280,34 @@ def test_update_centers_uses_last_modality_labels_quirk():
     np.testing.assert_allclose(np.asarray(m.centers_pos["audio"])[0], 35.0)
     np.testing.assert_allclose(np.asarray(m.centers_neg["audio"])[0], 15.0)
     np.testing.assert_allclose(np.asarray(m.centers_pos["multimodal"])[0], 3.5)
+
+
+def test_eval_loss_excludes_padded_rows():
+    """Padded tail rows (loader duplicates of the last real sample,
+    sample_mask=0) must not count toward the validation L1 — save_metric
+    'loss' drives best-checkpoint selection and the plateau LR schedule."""
+    task, state, managers, batch = build()
+    ev = make_self_mm_eval_step(task)
+    real = float(ev(state, batch)["loss"])
+
+    pad = 3
+    padded = dict(batch)
+    for k in ("audio", "video", "text"):
+        padded[k] = jnp.concatenate(
+            [batch[k], jnp.repeat(batch[k][-1:], pad, axis=0)]
+        )
+    # padded labels deliberately WRONG so an unmasked mean would shift
+    padded["labels"] = jnp.concatenate(
+        [batch["labels"], jnp.full((pad,), 99.0, jnp.float32)]
+    )
+    padded["sample_idx"] = jnp.concatenate(
+        [batch["sample_idx"], jnp.zeros((pad,), jnp.int32)]
+    )
+    padded["pattern_id"] = jnp.concatenate(
+        [batch["pattern_id"], jnp.zeros((pad,), jnp.int32)]
+    )
+    padded["sample_mask"] = jnp.concatenate(
+        [batch["sample_mask"], jnp.zeros((pad,))]
+    )
+    got = float(ev(state, padded)["loss"])
+    np.testing.assert_allclose(got, real, rtol=1e-6)
