@@ -135,6 +135,18 @@ class AVMNIST(nn.Module):
         if self.fusion_fn.lower() != "concat":
             raise ValueError(f"Unknown fusion function: {self.fusion_fn}")
 
+        # reference substitutes a ZERO EMBEDDING for an absent modality
+        # (avmnist.py:261-262) — meaningful with is_embd_X=True (the C-MAM
+        # substitution path); with is_embd_X=False the encoder sees the
+        # embedding-shaped zeros and fails, exactly as it does there
+        if A is None:
+            A = jnp.zeros(
+                (I.shape[0], self.audio_encoder.hidden_dim), I.dtype
+            )
+        if I is None:
+            I = jnp.zeros(
+                (A.shape[0], self.image_encoder.hidden_dim), A.dtype
+            )
         audio = A if is_embd_A else self.audio_encoder(A, train=train)
         image = I if is_embd_I else self.image_encoder(I, train=train)
         fused = jnp.concatenate([audio, image], axis=1)

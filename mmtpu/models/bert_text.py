@@ -24,7 +24,30 @@ from mmtpu.utils.utils import format_path_with_env
 logger = get_logger()
 
 
+_BERT_CACHE: dict = {}
+
+
 def _make_bert(
+    pretrained_path: Optional[str],
+    hidden_size: int = 768,
+    num_hidden_layers: int = 12,
+    num_attention_heads: int = 12,
+):
+    # setup() re-runs on EVERY module binding (init, each jit trace, each
+    # unjitted apply) — without this cache a real bert-base checkpoint is
+    # re-read and torch→flax-converted several times per run just to be
+    # discarded after the first init
+    key = (str(pretrained_path), hidden_size, num_hidden_layers,
+           num_attention_heads)
+    if key in _BERT_CACHE:
+        return _BERT_CACHE[key]
+    model = _build_bert(pretrained_path, hidden_size, num_hidden_layers,
+                        num_attention_heads)
+    _BERT_CACHE[key] = model
+    return model
+
+
+def _build_bert(
     pretrained_path: Optional[str],
     hidden_size: int = 768,
     num_hidden_layers: int = 12,
@@ -87,12 +110,20 @@ class BertTextEncoder(nn.Module):
         # False the stop_gradient below zeroes their grads (reference wraps
         # the call in no_grad, bert_text_encoder.py:66-73).
         params = self.param("bert", lambda rng: self._hf_params)
+        # reference parity: with use_finetune the torch BERT runs in train
+        # mode (dropout ACTIVE) during training; frozen mode matches the
+        # reference's no_grad eval-style pass (bert_text_encoder.py:61-73)
+        deterministic = not (train and self.use_finetune)
+        kwargs = {}
+        if not deterministic:
+            kwargs["rngs"] = {"dropout": self.make_rng("dropout")}
         out = self._module.apply(
             {"params": params},
             input_ids=input_ids,
             attention_mask=attention_mask,
             token_type_ids=token_type_ids,
-            deterministic=True,
+            deterministic=deterministic,
+            **kwargs,
         )
         hidden = out.last_hidden_state
         if not self.use_finetune:

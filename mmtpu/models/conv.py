@@ -69,11 +69,22 @@ class ConvBlock(nn.Module):
         return x
 
 
-def max_pool(x: jnp.ndarray, window: Union[int, Tuple[int, int]]) -> jnp.ndarray:
-    """Torch-semantics MaxPool2d over NHWC: stride = window, floor division
-    (trailing rows/cols that don't fill a window are dropped)."""
+def _torch_pool(x: jnp.ndarray, window, pool_fn) -> jnp.ndarray:
+    """Torch-semantics 2-D pooling over NHWC: stride = window, floor
+    division (trailing rows/cols that don't fill a window are dropped).
+    One implementation for max/avg so the crop logic can't diverge."""
     w = _pair(window)
     h_keep = (x.shape[1] // w[0]) * w[0]
     w_keep = (x.shape[2] // w[1]) * w[1]
     x = x[:, :h_keep, :w_keep, :]
-    return nn.max_pool(x, window_shape=w, strides=w)
+    return pool_fn(x, window_shape=w, strides=w)
+
+
+def max_pool(x: jnp.ndarray, window: Union[int, Tuple[int, int]]) -> jnp.ndarray:
+    """Torch-semantics MaxPool2d (floor mode)."""
+    return _torch_pool(x, window, nn.max_pool)
+
+
+def avg_pool(x: jnp.ndarray, window: Union[int, Tuple[int, int]]) -> jnp.ndarray:
+    """Torch-semantics AvgPool2d (floor mode)."""
+    return _torch_pool(x, window, nn.avg_pool)

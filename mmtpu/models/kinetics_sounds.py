@@ -7,22 +7,14 @@ Dropout → fc → ReLU → fc_out (26 classes).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple, Union
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
 
-from mmtpu.models.conv import _pair
+from mmtpu.models.conv import avg_pool as _avg_pool
 
 NUM_CLASSES = 26
-
-
-def _avg_pool(x: jnp.ndarray, window: Union[int, Tuple[int, int]]) -> jnp.ndarray:
-    w = _pair(window)
-    h_keep = (x.shape[1] // w[0]) * w[0]
-    w_keep = (x.shape[2] // w[1]) * w[1]
-    x = x[:, :h_keep, :w_keep, :]
-    return nn.avg_pool(x, window_shape=w, strides=w)
 
 
 class KineticsSoundsAudioEncoder(nn.Module):
@@ -100,6 +92,20 @@ class KineticsSounds(nn.Module):
     ) -> jnp.ndarray:
         assert A is not None or V is not None
         assert not (is_embd_A and is_embd_V)
+        # reference substitutes a ZERO EMBEDDING for an absent modality
+        # (kinetics_sounds.py:130-131) — meaningful with is_embd_X=True
+        # (the C-MAM substitution path); with is_embd_X=False the encoder
+        # sees the embedding-shaped zeros and fails, as it does there
+        if A is None:
+            A = jnp.zeros(
+                (V.shape[0], self.audio_encoder.get_embedding_size()),
+                V.dtype,
+            )
+        if V is None:
+            V = jnp.zeros(
+                (A.shape[0], self.video_encoder.get_embedding_size()),
+                A.dtype,
+            )
         audio = A if is_embd_A else self.audio_encoder(A, train=train)
         video = V if is_embd_V else self.video_encoder(V, train=train)
         fused = jnp.concatenate([audio, video], axis=1)

@@ -114,6 +114,10 @@ class Self_MM(nn.Module):
         text_lengths = jnp.where(mask_len == 0, DEFAULT_TEXT_LENGTH, mask_len)
         text = self.text_encoder(text_raw, train=train)[:, 0, :]
 
+        # faithful to MML_Suite (self_mm.py:156-161): NOT-aligned routes the
+        # TEXT lengths into the audio/video packed-LSTMs, aligned routes the
+        # per-modality lengths. (Upstream Self-MM has this the other way
+        # around — the reference inverted it; we match the reference.)
         if not self.need_data_aligned:
             audio = self.audio_encoder(audio, text_lengths, train=train)
             video = self.video_encoder(video, text_lengths, train=train)

@@ -177,3 +177,70 @@ def test_residual_unet_ae_shapes_and_blocks():
         import numpy as np
 
         assert float(np.asarray(out).min()) >= 0.0
+
+
+def test_avmnist_none_modality_zero_embedding_substitution():
+    """Reference parity (avmnist.py:261-262): a None modality with
+    is_embd_X=True substitutes a zero embedding of the encoder's width —
+    the C-MAM-style substitution path."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmtpu.models import build_module
+
+    enc_args = dict(
+        conv_block_one_one_args={"conv_one_in": 1, "conv_one_out": 4},
+        conv_block_one_two_args={"conv_one_in": 4, "conv_one_out": 4},
+        conv_block_two_one_args={"conv_one_in": 4, "conv_one_out": 8},
+        conv_block_two_two_args={"conv_one_in": 8, "conv_one_out": 8},
+    )
+    model = build_module(
+        "avmnist",
+        audio_encoder=build_module("mnist_audio", hidden_dim=6, **enc_args),
+        image_encoder=build_module("mnist_image", hidden_dim=10, **enc_args),
+        hidden_dim=12, dropout=0.0, fusion_fn="concat",
+    )
+    g = np.random.default_rng(0)
+    a = jnp.asarray(g.normal(size=(3, 32, 94, 1)), jnp.float32)
+    i = jnp.asarray(g.normal(size=(3, 28, 28, 1)), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, a, i, train=False)
+
+    got = model.apply(variables, A=None, I=i, is_embd_A=True, train=False)
+    want = model.apply(
+        variables, A=jnp.zeros((3, 6), jnp.float32), I=i, is_embd_A=True,
+        train=False,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # and the symmetric case
+    got2 = model.apply(variables, A=a, I=None, is_embd_I=True, train=False)
+    assert got2.shape == (3, 10)
+
+
+def test_bert_finetune_enables_dropout_frozen_does_not():
+    """Reference parity (bert_text_encoder.py:61-73): with use_finetune the
+    torch BERT runs in train mode (dropout active) during training; the
+    frozen path is deterministic."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmtpu.models.bert_text import BertTextEncoder
+
+    text = np.ones((2, 3, 8), np.float32)
+    text[:, 0, :] = np.arange(8)  # token ids
+    x = jnp.asarray(text)
+
+    def outputs(use_finetune, seed):
+        enc = BertTextEncoder(
+            use_finetune=use_finetune, pretrained_path=None,
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        )
+        v = enc.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        return np.asarray(
+            enc.apply(v, x, train=True,
+                      rngs={"dropout": jax.random.PRNGKey(seed)})
+        )
+
+    frozen_a, frozen_b = outputs(False, 1), outputs(False, 2)
+    np.testing.assert_array_equal(frozen_a, frozen_b)  # no dropout
+    tuned_a, tuned_b = outputs(True, 1), outputs(True, 2)
+    assert not np.array_equal(tuned_a, tuned_b)  # dropout active
