@@ -135,7 +135,14 @@ class CheckpointManager:
         metric_value: Optional[float] = None,
         extra: Optional[Dict[str, Any]] = None,
     ) -> Path:
-        """Write epoch_{N}.ckpt and mirror to best.ckpt."""
+        """Write epoch_{N}.ckpt and mirror to best.ckpt.
+
+        Gating contract (same as the reference driver): the CALLER decides
+        improvement — the loops call this only on a new best
+        (EarlyStopping.step), and every call mirrors to best.ckpt exactly
+        like the reference's save_checkpoint (checkpoints.py:39-79). The
+        is_better/best_value fields track the metric for standalone users
+        and the best.json record; they do not gate the write."""
         tree = self._snapshot({
             "params": state.params,
             "batch_stats": state.batch_stats,
@@ -159,7 +166,10 @@ class CheckpointManager:
             _write_text_atomic(self.model_dir / "best.json", json.dumps(meta))
 
         self._submit(write)
-        if metric_value is not None:
+        if metric_value is not None and self.is_better(metric_value):
+            # only record genuinely-better values so the informational
+            # best_value/best_epoch can't regress if a caller saves a
+            # non-improving checkpoint
             self.best_value = metric_value
             self.best_epoch = epoch
         logger.info(f"checkpoint saved: {path}")
@@ -377,6 +387,54 @@ def resolve_checkpoint_path(path) -> Path:
     if not p.exists() and p.with_suffix(".ckpt").exists():
         return p.with_suffix(".ckpt")
     return p
+
+
+def load_model_variables(
+    path: str | Path, target_params: Any, target_batch_stats: Optional[Any] = None
+):
+    """Full-model {params, batch_stats} from mmtpu .ckpt or torch .pth.
+
+    Same resolution contract as load_encoder_checkpoint (exact path →
+    .ckpt sibling → torch-interop reader, LSTM layouts adapted), for
+    whole-model pretrained_path consumers — train_cmam's frozen base
+    restore previously fed raw pickle bytes to msgpack and could not load
+    reference torch checkpoints or cross-layout LSTM bases.
+    Returns (params, batch_stats_or_None)."""
+    path = Path(path)
+    candidates = [path]
+    if path.suffix != ".ckpt":
+        candidates.append(path.with_suffix(".ckpt"))
+    host_params = _to_host(target_params)
+    for cand in candidates:
+        if not cand.exists():
+            continue
+        try:
+            raw = load_pytree(cand)  # msgpack regardless of suffix (tiny
+            # test fixtures write msgpack under reference .pth names)
+        except Exception:
+            raw = None
+        if isinstance(raw, dict) and "params" in raw:
+            params = serialization.from_state_dict(
+                host_params,
+                adapt_lstm_layout(
+                    raw["params"], serialization.to_state_dict(host_params)
+                ),
+            )
+            stats = None
+            if target_batch_stats is not None and raw.get("batch_stats"):
+                stats = serialization.from_state_dict(
+                    _to_host(target_batch_stats), raw["batch_stats"]
+                )
+            return params, stats
+        if raw is None:  # real torch pickle
+            from mmtpu.checkpoints.torch_interop import load_torch_checkpoint
+
+            if target_batch_stats is not None:
+                return load_torch_checkpoint(
+                    cand, target_params, target_batch_stats
+                )
+            return load_torch_checkpoint(cand, target_params), None
+    raise FileNotFoundError(f"Model checkpoint not found: {path}")
 
 
 def load_encoder_checkpoint(

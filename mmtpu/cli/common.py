@@ -209,20 +209,29 @@ def promote_numpy_warnings() -> None:
         )
 
 
-def load_config(args) -> StandardMultimodalConfig:
+def finalize_config(cfg, args):
+    """Post-load wiring shared by EVERY driver: the numpy-warning
+    tripwire, precision knob, --seed/--dry-run/--disable_monitoring
+    overrides, output dirs, and the run log file. train_cmam loads through
+    CMAMConfig and must call this too — skipping it silently ignores
+    --seed and experiment.precision."""
     promote_numpy_warnings()
-    cfg = StandardMultimodalConfig.load(args.config, run_id=args.run_id)
     apply_precision(cfg)
-    if args.seed is not None:
+    if getattr(args, "seed", None) is not None:
         cfg.experiment.seed = args.seed
         np.random.seed(args.seed)
-    if args.dry_run:
+    if getattr(args, "dry_run", False):
         cfg.experiment.dry_run = True
-    if args.disable_monitoring:
+    if getattr(args, "disable_monitoring", False) and hasattr(cfg, "monitoring"):
         cfg.monitoring.enabled = False
     cfg.logging.create_directories()
     configure_logger(cfg.logging.log_path, suffix=f"run_{args.run_id}")
     return cfg
+
+
+def load_config(args) -> StandardMultimodalConfig:
+    cfg = StandardMultimodalConfig.load(args.config, run_id=args.run_id)
+    return finalize_config(cfg, args)
 
 
 # ---------------------------------------------------------------------------

@@ -76,24 +76,25 @@ def build_task_and_state(cfg, args):
     mods = modalities_for_model(cfg.model.model_type)
     model = common.build_model_from_config(cfg.model)
 
-    # build only the requested split's loaders: build_all_loaders gates
-    # train/validation behind is_train, so --split validation needs it on
-    loaders = cfg.data.build_all_loaders(
-        is_train=args.split in ("train", "trn", "validation"),
-        is_test=True,
-        seed=cfg.experiment.seed,
-    )
-    if args.split not in loaders:
+    # build ONLY the requested split — inference has no reason to pay the
+    # decode/memory cost of the other configured splits
+    if args.split not in cfg.data.datasets:
         raise SystemExit(
             f"predict: split {args.split!r} not in config data splits "
-            f"{sorted(loaders)}"
+            f"{sorted(cfg.data.datasets)}"
         )
-    loader = loaders[args.split]
+    loader = cfg.data.build_loader(args.split, seed=cfg.experiment.seed)
     params, batch_stats = common.init_model(
         model, common.sample_inputs_for(loader.dataset, mods),
         cfg.experiment.seed,
     )
-    state = common.make_state(model, params, batch_stats, cfg.training)
+    # the restore target's opt_state pytree must match what training built:
+    # a clip-configured run's checkpoint carries an extra clip transform in
+    # the optax chain, so omitting it here fails from_state_dict
+    state = common.make_state(
+        model, params, batch_stats, cfg.training,
+        clip=cfg.model.kwargs.get("clip") or cfg.model.kwargs.get("grad_clip"),
+    )
 
     ckpt = common.make_checkpoint_manager(cfg)
     state = ckpt.load_checkpoint(state, args.checkpoint)

@@ -17,7 +17,6 @@ from pathlib import Path
 import jax
 import numpy as np
 
-from mmtpu.checkpoints.manager import load_pytree
 from mmtpu.cli import common
 from mmtpu.cli.train_multimodal import modalities_for_model
 from mmtpu.config.cmam import CMAMConfig
@@ -43,7 +42,7 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     common.apply_platform(args)
     cfg = CMAMConfig.load(args.config, run_id=args.run_id)
-    cfg.logging.create_directories()
+    common.finalize_config(cfg, args)
 
     loaders = cfg.data.build_all_loaders(
         is_train=not args.skip_train, is_test=not args.skip_test,
@@ -62,18 +61,17 @@ def main(argv=None) -> int:
     if base_stats:
         base_variables["batch_stats"] = base_stats
     if cfg.model.pretrained_path:
-        from flax import serialization
+        from mmtpu.checkpoints.manager import load_model_variables
 
-        from mmtpu.checkpoints.manager import resolve_checkpoint_path
-
-        raw = load_pytree(resolve_checkpoint_path(cfg.model.pretrained_path))
-        base_variables["params"] = serialization.from_state_dict(
-            base_params, raw["params"]
+        # handles mmtpu .ckpt, reference torch .pth (interop reader), and
+        # cross-layout LSTM bases — not just msgpack at the exact path
+        params_r, stats_r = load_model_variables(
+            cfg.model.pretrained_path, base_params,
+            base_stats if base_stats else None,
         )
-        if base_stats and raw.get("batch_stats"):
-            base_variables["batch_stats"] = serialization.from_state_dict(
-                base_stats, raw["batch_stats"]
-            )
+        base_variables["params"] = params_r
+        if stats_r is not None:
+            base_variables["batch_stats"] = stats_r
         console.success(f"restored base model from {cfg.model.pretrained_path}")
     base_variables = jax.tree_util.tree_map(
         jax.lax.stop_gradient, base_variables

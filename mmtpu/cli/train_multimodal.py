@@ -87,6 +87,14 @@ def run_single(cfg, args, cv_no=None, json_nesting="reference", collect=None) ->
     """Train/test one run. `json_nesting` selects the epoch_metrics.json
     style ('reference' or 'avmnist'); `collect`, when a dict, receives the
     per-epoch metrics histories and test metrics for CV aggregation."""
+    if cv_no is not None:
+        # reference main_cross_validation injects the fold number into every
+        # dataset's kwargs (train_multimodal.py:947) — BEFORE dispatching to
+        # the custom-step runners, whose loaders also build from cfg.data
+        # (otherwise every "fold" of an MMIN/RedCore/Self-MM CV would train
+        # on the default fold's data)
+        for ds_cfg in cfg.data.datasets.values():
+            ds_cfg.kwargs["cv_no"] = cv_no
     mt = cfg.model.model_type.lower()
     if mt in ("mmin", "redcore"):
         from mmtpu.cli import msa_runners
@@ -97,11 +105,6 @@ def run_single(cfg, args, cv_no=None, json_nesting="reference", collect=None) ->
 
         return train_self_mm.run(cfg, args)
     clean_checkpoints(cfg.logging.model_output_path)
-    if cv_no is not None:
-        # reference main_cross_validation injects the fold number into every
-        # dataset's kwargs (train_multimodal.py:947)
-        for ds_cfg in cfg.data.datasets.values():
-            ds_cfg.kwargs["cv_no"] = cv_no
     loaders = cfg.data.build_all_loaders(
         is_train=cfg.experiment.is_train and not args.skip_train,
         is_test=cfg.experiment.is_test and not args.skip_test,

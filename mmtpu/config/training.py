@@ -143,6 +143,13 @@ class StandardMultimodalConfig(BaseConfig):
             model_cfg.pretrained_path = logging_cfg.format_path(
                 format_path_with_env(model_cfg.pretrained_path)
             )
+            # DELIBERATE deviation: the reference validates pretrained_path
+            # existence at load (multimodal_training_config.py:320, raising
+            # if the artifact is absent). mmtpu defers the existence check
+            # to restore time so every reference YAML loads without its
+            # training artifacts present (the corpus-load guarantee,
+            # tests/test_config.py); ModelConfig.validate_config remains
+            # available for callers that want the reference's fail-fast.
 
         data_cfg = raw["data"]
         if not isinstance(data_cfg, DataConfig):

@@ -36,15 +36,22 @@ def _make_bert(
     # setup() re-runs on EVERY module binding (init, each jit trace, each
     # unjitted apply) — without this cache a real bert-base checkpoint is
     # re-read and torch→flax-converted several times per run just to be
-    # discarded after the first init
+    # discarded after the first init. Returns (flax_module, host_params):
+    # the params are cached as HOST arrays because a cached DEVICE pytree
+    # would be initialized into a TrainState whose donated buffers are
+    # freed by the first train step — a second run in the same process
+    # would then init from deleted buffers.
+    import jax
+
     key = (str(pretrained_path), hidden_size, num_hidden_layers,
            num_attention_heads)
     if key in _BERT_CACHE:
         return _BERT_CACHE[key]
     model = _build_bert(pretrained_path, hidden_size, num_hidden_layers,
                         num_attention_heads)
-    _BERT_CACHE[key] = model
-    return model
+    entry = (model.module, jax.device_get(model.params))
+    _BERT_CACHE[key] = entry
+    return entry
 
 
 def _build_bert(
@@ -94,12 +101,10 @@ class BertTextEncoder(nn.Module):
 
     def setup(self) -> None:
         assert self.language in ("en", "cn")
-        hf = _make_bert(
+        self._module, self._hf_params = _make_bert(
             self.pretrained_path, self.hidden_size,
             self.num_hidden_layers, self.num_attention_heads,
         )
-        self._module = hf.module
-        self._hf_params = hf.params
 
     @nn.compact
     def __call__(self, text: jnp.ndarray, train: bool = False) -> jnp.ndarray:

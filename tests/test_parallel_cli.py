@@ -55,12 +55,39 @@ def test_dp_flag_overrides_and_matches_single_device(tmp_path):
 
 def test_self_mm_runs_data_parallel(tmp_path):
     """Self-MM's custom loop (sharded prefetchers + per-sample manager
-    scatter) completes a 2-epoch run over the 8-device mesh."""
+    scatter) completes a 2-epoch run over the 8-device mesh, then runs the
+    best-checkpoint test phase (test_metrics.json + a final {"test": ...}
+    epoch-metrics entry, like the reference's generic driver)."""
+    import json
+
     cfg = REPO / "configs/mosi/synthetic_self_mm.yaml"
     code = run_cli_inproc("mmtpu.cli.train_multimodal", cfg, run_id="9",
                           extra=["--data-parallel", "8"], cwd=tmp_path,
                           env_extra={"EXP_PATH": str(tmp_path)})
     assert code == 0
+    metrics_dirs = sorted(tmp_path.glob("experiments_output/*/metrics/9"))
+    assert metrics_dirs, "no metrics dir produced"
+    md = metrics_dirs[-1]
+    test_recs = json.loads((md / "test_metrics.json").read_text())
+    assert test_recs and test_recs[0]["split"] == "test"
+    epochs = json.loads((md / "epoch_metrics.json").read_text())
+    assert list(epochs[-1].keys()) == ["test"]
+    assert "loss" in epochs[-1]["test"]
+
+
+def test_self_mm_skip_train_tests_current_params(tmp_path):
+    """--skip-train must not crash the Self-MM driver (it previously
+    dereferenced the omitted train loader) — it skips straight to the
+    test phase."""
+    import json
+
+    cfg = REPO / "configs/mosi/synthetic_self_mm.yaml"
+    code = run_cli_inproc("mmtpu.cli.train_multimodal", cfg, run_id="8",
+                          extra=["--skip-train"], cwd=tmp_path,
+                          env_extra={"EXP_PATH": str(tmp_path)})
+    assert code == 0
+    md = sorted(tmp_path.glob("experiments_output/*/metrics/8"))[-1]
+    assert (md / "test_metrics.json").exists()
 
 
 @pytest.mark.parametrize("dp,needle", [("5", "not divisible"),
