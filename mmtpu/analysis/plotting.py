@@ -105,15 +105,20 @@ def plot_pattern_comparison(
             k.rsplit("_", 1)[1]
             for m in metrics_by_experiment.values()
             for k in m
-            if k.startswith(metric_prefix) and k.rsplit("_", 1)[1].isupper()
+            # '_' guard: a bare key equal to the prefix (e.g. 'loss')
+            # passes startswith but has no pattern suffix to split off
+            if k.startswith(metric_prefix) and "_" in k
+            and k.rsplit("_", 1)[1].isupper()
         }
     )
     fig, ax = plt.subplots(figsize=(6, 4))
-    width = 0.8 / max(len(metrics_by_experiment), 1)
+    n = max(len(metrics_by_experiment), 1)
+    width = 0.8 / n
     for i, (label, metrics) in enumerate(metrics_by_experiment.items()):
         vals = [metrics.get(f"{metric_prefix}_{p}", np.nan) for p in patterns]
         ax.bar(np.arange(len(patterns)) + i * width, vals, width, label=label)
-    ax.set_xticks(np.arange(len(patterns)) + width / 2, patterns)
+    # center the group label under the group: offset (n-1)/2 bar widths
+    ax.set_xticks(np.arange(len(patterns)) + width * (n - 1) / 2, patterns)
     ax.set_ylabel(metric_prefix)
     ax.legend()
     ax.grid(alpha=0.3, axis="y")

@@ -26,21 +26,40 @@ def _runs(experiment_dir: str | Path, filename: str) -> List[Path]:
     return sorted(root.glob(f"*/{filename}"))
 
 
+def _lookup_metric(entry_split: Dict[str, Any], metric: str):
+    """Metric value from an epoch entry's split body — the generic
+    nesting ('metrics' bucket) OR the avmnist style (pattern keys)."""
+    v = entry_split.get("metrics", {}).get(metric)
+    if v is None:
+        for metrics in entry_split.values():
+            if isinstance(metrics, dict) and metric in metrics:
+                return metrics[metric]
+    return v
+
+
 def aggregate_runs(
-    experiment_dir: str | Path, metric: str, split: str = "validation"
+    experiment_dir: str | Path,
+    metric: str,
+    split: str = "validation",
+    mode: str = "max",
 ) -> Dict[str, Any]:
-    """Mean/std of a metric's best value across run_id subdirectories."""
+    """Mean/std of a metric's best value across run_id subdirectories.
+
+    mode='min' for lower-is-better metrics (loss, MAE) — taking max there
+    would aggregate each run's WORST epoch. Handles both the generic
+    nesting and the avmnist pattern-nested epoch_metrics.json."""
+    best = max if mode == "max" else min
     values = []
     for path in _runs(experiment_dir, "epoch_metrics.json"):
         history = load_epoch_metrics(path)
         per_epoch = [
-            e[split].get("metrics", {}).get(metric)
+            _lookup_metric(e[split], metric)
             for e in history
-            if metric in e[split].get("metrics", {})
+            if split in e
         ]
         per_epoch = [v for v in per_epoch if v is not None]
         if per_epoch:
-            values.append(max(per_epoch))
+            values.append(best(per_epoch))
     if not values:
         return {"metric": metric, "runs": 0}
     return {
@@ -72,9 +91,10 @@ def compare_experiments(
     dir_b: str | Path,
     metric: str,
     split: str = "validation",
+    mode: str = "max",
 ) -> Dict[str, Any]:
-    agg_a = aggregate_runs(dir_a, metric, split)
-    agg_b = aggregate_runs(dir_b, metric, split)
+    agg_a = aggregate_runs(dir_a, metric, split, mode=mode)
+    agg_b = aggregate_runs(dir_b, metric, split, mode=mode)
     out = {"a": agg_a, "b": agg_b}
     if agg_a.get("values") and agg_b.get("values"):
         out["significance"] = significance_test(agg_a["values"], agg_b["values"])
@@ -493,6 +513,11 @@ def load_embeddings(
 
 
 def load_all_embeddings(files, modalities, include_reconstructions=False):
+    """Faithful quirk (reference processing_utils.py:704-708): keyed by
+    modality only, so with multiple roots each overwrites the previous —
+    the result holds the LAST root's embeddings. Reproduced for API
+    parity; pass a single root (or call load_embeddings per root) for
+    multi-run analysis."""
     out = {}
     for root in files:
         for modality in modalities:

@@ -73,18 +73,21 @@ class ExperimentVisualiser:
         (reference :135-195)."""
         import seaborn as sns
 
+        if metric == "loss":  # not a paired-difference metric; a blank
+            return None        # figure would be saved otherwise
         fig, ax = plt.subplots(figsize=figsize)
         ref = df[df["Modality Availability"] == reference_condition][
             metric
         ].values
         diffs, labels = [], []
         for cond in df["Modality Availability"].unique():
-            if cond == reference_condition or metric == "loss":
+            if cond == reference_condition:
                 continue
             vals = df[df["Modality Availability"] == cond][metric].values
             n = min(len(vals), len(ref))
             diffs.append(vals[:n] - ref[:n])
-            labels.append(f"{reference_condition} vs {cond}")
+            # label matches the computed sign: cond MINUS reference
+            labels.append(f"{cond} − {reference_condition}")
         sns.boxplot(data=diffs, orient="h", ax=ax, showfliers=False)
         for i, d in enumerate(diffs):
             ax.scatter(d, np.full(len(d), i) + np.random.default_rng(i)
@@ -234,9 +237,11 @@ class ExperimentVisualiser:
             out[f"distribution_{metric}"] = self.plot_performance_distribution(
                 df, metric
             )
-            out[f"paired_{metric}"] = self.plot_paired_differences(
+            paired = self.plot_paired_differences(
                 df, metric, reference_condition
             )
+            if paired is not None:  # loss has no paired-difference view
+                out[f"paired_{metric}"] = paired
             out[f"significance_{metric}"] = self.plot_significance_matrix(
                 df, metric
             )

@@ -50,6 +50,11 @@ def _masked_crc(data: bytes) -> int:
 
 
 def _varint(n: int) -> bytes:
+    if n < 0:
+        # protobuf int64: negative values are two's-complement 64-bit
+        # (10-byte varint); Python's arithmetic shift on a negative int
+        # never reaches 0 and would loop forever
+        n += 1 << 64
     out = bytearray()
     while True:
         b = n & 0x7F

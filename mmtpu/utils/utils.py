@@ -87,7 +87,12 @@ def clean_checkpoints(
     removed = 0
     for pattern in patterns:
         files = sorted(
-            directory.glob(pattern), key=lambda p: p.stat().st_mtime
+            # already-renamed *_last files are terminal: re-matching them
+            # would cascade renames (epoch_5_last -> epoch_5_last_last ...)
+            # on every repeated invocation
+            (p for p in directory.glob(pattern)
+             if not p.stem.endswith("_last")),
+            key=lambda p: p.stat().st_mtime,
         )
         if not files:
             continue
@@ -101,6 +106,13 @@ def clean_checkpoints(
         else:
             last.unlink()
             removed += 1
+    if not keep_best:
+        # reference keep_best=False drops the best checkpoint too
+        # (experiment_utils/utils.py:296,306)
+        for best in directory.glob("best.*"):
+            if best.suffix in (".ckpt", ".pth", ".json"):
+                best.unlink()
+                removed += 1
     return removed
 
 

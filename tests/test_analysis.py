@@ -235,3 +235,54 @@ class TestVisualiser:
             "accuracy",
         )
         assert Path(p).exists()
+
+
+class TestAggregateRuns:
+    def _write_run(self, root, entries):
+        import json
+
+        d = root / "metrics" / "1"
+        d.mkdir(parents=True)
+        (d / "epoch_metrics.json").write_text(json.dumps(entries))
+
+    def test_avmnist_nesting_and_min_mode(self, tmp_path):
+        """aggregate_runs reads avmnist pattern-nested entries and takes
+        the per-run MIN for lower-is-better metrics."""
+        from mmtpu.analysis.processing import aggregate_runs
+
+        self._write_run(tmp_path, [
+            {"epoch": 1, "validation": {"loss": 1.0,
+                                        "AI": {"accuracy": 0.5}}},
+            {"epoch": 2, "validation": {"loss": 0.4,
+                                        "AI": {"accuracy": 0.8}}},
+        ])
+        acc = aggregate_runs(tmp_path, "accuracy", "validation")
+        assert acc["runs"] == 1 and acc["values"] == [0.8]
+        # min mode: best loss is the smallest, not max(per_epoch)
+        import json
+
+        d = tmp_path / "metrics" / "1"
+        entries = json.loads((d / "epoch_metrics.json").read_text())
+        for e in entries:
+            e["validation"]["metrics"] = {"mae": 3.0 - e["epoch"]}
+        (d / "epoch_metrics.json").write_text(json.dumps(entries))
+        mae = aggregate_runs(tmp_path, "mae", "validation", mode="min")
+        assert mae["values"] == [1.0]
+
+
+def test_clean_checkpoints_idempotent_and_keep_best(tmp_path):
+    """Repeated retention passes must not cascade *_last renames, and
+    keep_best=False drops the best checkpoint like the reference."""
+    from mmtpu.utils.utils import clean_checkpoints
+
+    for n in (1, 2, 3):
+        (tmp_path / f"epoch_{n}.ckpt").write_bytes(b"x")
+    (tmp_path / "best.ckpt").write_bytes(b"x")
+    clean_checkpoints(tmp_path)
+    names = sorted(p.name for p in tmp_path.iterdir())
+    assert names == ["best.ckpt", "epoch_3_last.ckpt"]
+    clean_checkpoints(tmp_path)  # second pass: nothing to do
+    names2 = sorted(p.name for p in tmp_path.iterdir())
+    assert names2 == names  # no epoch_3_last_last.ckpt
+    clean_checkpoints(tmp_path, keep_best=False)
+    assert not (tmp_path / "best.ckpt").exists()
