@@ -9,6 +9,12 @@ experiments_output/quiet_bench_log.jsonl — producing a raw, non-normalized
 measurement of the headline number on a quiet chip.
 
 Usage: python scripts/quiet_bench_probe.py [--threshold 150] [--hours 5]
+
+CAUTION: the axon tunnel serializes TPU clients — while this probe's
+polling subprocess holds the device, any other process's TPU work (incl.
+bench.py and the round driver's bench run) can block for minutes. Stop the
+probe (`kill $(cat /tmp/quiet_probe.pid)`) before running anything else
+against the chip.
 """
 
 from __future__ import annotations
@@ -49,6 +55,10 @@ def main() -> None:
 
     log_path = os.path.join(ROOT, "experiments_output", "quiet_bench_log.jsonl")
     os.makedirs(os.path.dirname(log_path), exist_ok=True)
+    # the documented stop recipe (docstring) reads this file — the probe
+    # must be killable by PID, never by process-name pattern matching
+    with open("/tmp/quiet_probe.pid", "w") as f:
+        f.write(str(os.getpid()))
     deadline = time.time() + args.hours * 3600
     captures = 0
 
