@@ -20,19 +20,33 @@ import platform
 
 
 def host_cache_dir(root: str) -> str:
-    """`<root>/.cache/jax/<12-hex CPU-feature fingerprint>`."""
+    """`<root>/.cache/jax/<12-hex CPU fingerprint>`.
+
+    The fingerprint must cover everything XLA's target-machine detection
+    reads, not just the CPUID feature list: two hosts with identical
+    cpuinfo `flags` got different AOT target features (+prefer-no-scatter
+    / +prefer-no-gather — LLVM tuning choices derived from the CPU model
+    and active mitigations, observed across VM reboots of this image), so
+    the model name, stepping, microcode, and `bugs` (mitigation) lines are
+    hashed in as well.
+    """
     try:
         with open("/proc/cpuinfo") as f:
-            lines = f.read().splitlines()
-        # x86 spells the feature list "flags"; aarch64 spells it "Features"
-        fingerprint = next(
-            (ln for ln in lines if ln.startswith(("flags", "Features"))),
-            platform.processor() or platform.machine(),
-        )
+            fingerprint = _fingerprint_from_cpuinfo(f.read())
     except OSError:
-        fingerprint = platform.processor() or platform.machine()
+        fingerprint = ""
+    fingerprint = fingerprint or (platform.processor() or platform.machine())
     key = hashlib.sha1(fingerprint.encode()).hexdigest()[:12]
     return os.path.join(root, ".cache", "jax", key)
+
+
+def _fingerprint_from_cpuinfo(text: str) -> str:
+    """Lines of the first processor block that XLA's target detection can
+    depend on. x86 spells the ISA list "flags"; aarch64 spells it
+    "Features"."""
+    keys = ("flags", "Features", "model name", "stepping", "microcode", "bugs")
+    block = text.split("\n\n", 1)[0].splitlines()
+    return "\n".join(ln for ln in block if ln.startswith(keys))
 
 
 def enable(

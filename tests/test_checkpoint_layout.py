@@ -264,6 +264,33 @@ def test_host_cache_dir_is_host_keyed(tmp_path):
     assert host_cache_dir(str(tmp_path)) == d  # stable on the same host
 
 
+def test_cpu_fingerprint_covers_model_and_mitigations():
+    """Identical CPUID `flags` across two VMs still produced different XLA
+    AOT target features (+prefer-no-scatter/gather are tuning choices
+    derived from the model and active mitigations), so the fingerprint must
+    key on model name / stepping / microcode / bugs too — only then does a
+    reboot onto a different host get a fresh cache dir."""
+    from mmtpu.utils.compile_cache import _fingerprint_from_cpuinfo
+
+    base = (
+        "processor\t: 0\n"
+        "model name\t: Intel Xeon\n"
+        "stepping\t: 6\n"
+        "microcode\t: 0xabc\n"
+        "flags\t\t: fpu avx512f\n"
+        "bugs\t\t: spectre_v1 gds\n"
+    )
+    fp = _fingerprint_from_cpuinfo(base)
+    for needle in ("model name", "stepping", "microcode", "flags", "bugs"):
+        assert needle in fp
+    # a mitigation change alone must change the fingerprint
+    assert fp != _fingerprint_from_cpuinfo(base.replace(" gds", ""))
+    # only the FIRST processor block is read (stable on heterogeneous SMT
+    # listings, and cheap)
+    two = base + "\n" + "processor\t: 1\nbugs\t\t: other\n"
+    assert _fingerprint_from_cpuinfo(two) == fp
+
+
 def test_load_checkpoint_accepts_explicit_path(tmp_path):
     """The predict/serve CLIs advertise '--checkpoint <path>' — an absolute
     .ckpt path (or a reference-era .pth name with a .ckpt sibling) loads
