@@ -11,7 +11,9 @@ Prints ONE JSON line with the headline metric plus companion fields:
   mosi_uttfusion_step_ms   second tracked workload (BASELINE.md: MOSI step
                            time) at the reference's batch 32 / T=50 shapes
   mosi_vs_baseline         torch-CPU UttFusion step-time ratio (scripts/
-                           torch_cpu_baseline.py --mosi, ~249 ms/step)
+                           torch_cpu_baseline.py --mosi, ~249 ms/step);
+                           _canary_normalized variant uses the quiet-chip
+                           extrapolated step time
 
 Workload = the reference's north-star configuration (BASELINE.md):
 ResNet18 audio encoder (hidden 64) + ResNet34 image encoder (hidden 128) +
@@ -350,6 +352,10 @@ def main() -> None:
                 # (scripts/torch_cpu_baseline.py --mosi)
                 "mosi_vs_baseline": round(
                     TORCH_CPU_MOSI_STEP_MS / (1000.0 * mosi_B / mm["best"]), 2
+                ),
+                "mosi_vs_baseline_canary_normalized": round(
+                    TORCH_CPU_MOSI_STEP_MS
+                    / (1000.0 * mosi_B / mm["normalized"]), 2
                 ),
             }
         )
