@@ -321,3 +321,26 @@ def test_load_checkpoint_accepts_explicit_path(tmp_path):
         fresh, str(tmp_path / "runA" / "best.pth")
     )
     assert restored2 is not None
+
+
+def test_federated_param_codec_roundtrip():
+    """base64 param transport codec (reference federated/federated_utils.py
+    :7-41 — the sole survivor of the federated subsystem): encode → decode
+    restores every leaf exactly."""
+    import jax.numpy as jnp
+
+    from mmtpu.federated import deserialize_params, serialize_params
+
+    params = {
+        "dense": {"kernel": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+                  "bias": jnp.zeros(3)},
+        "scale": jnp.float32(2.5),
+    }
+    encoded = serialize_params(params)
+    assert isinstance(encoded, str)
+    restored = deserialize_params(encoded, params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params),
+        jax.tree_util.tree_leaves(restored),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
