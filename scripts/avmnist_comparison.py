@@ -19,6 +19,9 @@ import argparse
 import json
 from pathlib import Path
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root: scripts run from anywhere
+
 from mmtpu.analysis.plotting import plot_loss_curves, plot_metric_curves
 from mmtpu.analysis.processing import (
     epochs_to_threshold,

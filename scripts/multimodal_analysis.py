@@ -14,6 +14,9 @@ from __future__ import annotations
 import argparse
 import json
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root: scripts run from anywhere
+
 from mmtpu.analysis.processing import compare_experiments
 
 
