@@ -243,6 +243,21 @@ ENCODER_KEYS = ("audio_encoder", "image_encoder", "text_encoder", "video_encoder
 
 def build_model_from_config(model_cfg) -> Any:
     """ModelConfig → Flax module (specs built lazily inside the registry)."""
+    if getattr(model_cfg, "init_fn", None):
+        # Faithful no-op, surfaced loudly: the reference passes the WHOLE
+        # composite model to kaiming_init (train_multimodal.py:150-153),
+        # whose isinstance(module, (Conv2d, Linear, BatchNorm2d)) check
+        # never matches a top-level model (experiment_utils/utils.py:283-291
+        # — the author presumably meant model.apply(kaiming_init)). The ch3
+        # MMIN/RedCore configs set init_fn: "kaiming", so their reference
+        # runs trained on DEFAULT torch init; mmtpu preserves that by not
+        # re-initializing either. models/tools.py:init_weights provides the
+        # intended behavior for users who want it.
+        console.warning(
+            f"init_fn={model_cfg.init_fn!r} noted but NOT applied — it is a "
+            "silent no-op in the reference (kaiming_init receives the whole "
+            "model, never a Conv2d/Linear); see mmtpu/cli/common.py"
+        )
     return build_module(model_cfg.model_type, **model_cfg.kwargs)
 
 

@@ -138,6 +138,22 @@ def _factories() -> Dict[str, Callable[..., Any]]:
         "graph_network": ("mmtpu.models.gcnet", "GraphNetwork"),
         "matching_attention": ("mmtpu.models.gcnet", "MatchingAttention"),
         "mult": ("mmtpu.models.mult", "MultModalTransformer"),
+        "gated_transformer": ("mmtpu.models.seq_extras", "GatedTransformer"),
+        # Dead-in-reference long tail (never registered there; see each
+        # module's docstring for the reference file:line it rebuilds):
+        "div_encoder": ("mmtpu.models.domain", "DIVEncoder"),
+        "divencoder": ("mmtpu.models.domain", "DIVEncoder"),
+        "seq_encoder": ("mmtpu.models.domain", "SeqEncoder"),
+        "seqencoder": ("mmtpu.models.domain", "SeqEncoder"),
+        "language_embedding": ("mmtpu.models.domain", "LanguageEmbeddingLayer"),
+        "languageembeddinglayer": ("mmtpu.models.domain", "LanguageEmbeddingLayer"),
+        "lstmencodervar": ("mmtpu.models.variational", "VariationalLSTMEncoder"),
+        "lstm_encoder_var": ("mmtpu.models.variational", "VariationalLSTMEncoder"),
+        "lstmencoder2var": ("mmtpu.models.variational", "VariationalLSTMEncoder2"),
+        "textcnnvar": ("mmtpu.models.variational", "VariationalTextCNN"),
+        "textcnn_var": ("mmtpu.models.variational", "VariationalTextCNN"),
+        "linearvxe": ("mmtpu.models.variational", "LinearVXE"),
+        "linear_vxe": ("mmtpu.models.variational", "LinearVXE"),
         "redcore": ("mmtpu.models.redcore", "RedCore"),
         "feature_manager": ("mmtpu.train.managers", "FeatureManager"),
         "center_manager": ("mmtpu.train.managers", "CenterManager"),
