@@ -80,6 +80,15 @@ def standard_arg_parser(description: str) -> argparse.ArgumentParser:
              "vmapped program (per-fold math unchanged; early stopping "
              "tracked per fold for checkpoints but folds run full epochs)",
     )
+    p.add_argument(
+        "--stacked-runs", "--stacked_runs", dest="stacked_runs",
+        type=int, default=0, metavar="K",
+        help="Train K repeat runs (run_id..run_id+K-1, member i seeded "
+             "seed+i) simultaneously in one vmapped program — the stacked "
+             "equivalent of the reference's run_n.sh sweep loop. Each run "
+             "writes its own run_id-scoped outputs, bit-identical to "
+             "invoking the driver K times with --run_id r --seed (seed+i).",
+    )
     return p
 
 

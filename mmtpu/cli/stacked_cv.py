@@ -1,20 +1,32 @@
-"""Stacked cross-validation: all K folds train in ONE compiled program.
+"""Stacked training: K member runs advance in ONE compiled program.
 
-The reference (and run_single) trains CV folds sequentially
-(train_multimodal.py:920-1102). At the batch sizes the reference configs use
-(32-256) a single fold underutilizes the chip per step; vmapping the train
-step over a leading fold axis multiplies the work per dispatch while keeping
-each fold's math, data stream, optimizer state, and RNG independent
+Two member kinds share the engine:
+- CV folds (`run`, --stacked-folds): the reference (and run_single) trains
+  CV folds sequentially (train_multimodal.py:920-1102); members differ by
+  the `cv_no` injected into dataset kwargs and write fold_{k}/ outputs.
+- Repeat runs (`run_repeat`, --stacked-runs K): the reference's run_n.sh
+  loop (run_n.sh:23-27) re-invokes the driver with run_id 1..N; members
+  are full per-run_id config loads (so `{run_id}` path templating holds)
+  with per-run seeds seed+i — the variation a deterministic framework
+  needs where the reference relied on CUDA nondeterminism for run-to-run
+  spread. The sequential equivalent is
+  `train_multimodal --run_id r --seed (seed+i)` per run, which the
+  fallback path (train_multimodal.sequential_runs) reproduces exactly.
+
+At the batch sizes the reference configs use (32-256) a single run
+underutilizes the chip per step; vmapping the train step over a leading
+member axis multiplies the work per dispatch while keeping each member's
+math, data stream, optimizer state, and RNG independent
 (mmtpu/train/stacked.py — parity-tested against separate runs).
 
-Per-fold outputs keep the sequential schema: fold_{k}/epoch_metrics.json,
-fold-scoped checkpoints, and {split}_metrics_agg.json aggregation, so
+Per-member outputs keep the sequential schema: epoch_metrics.json,
+member-scoped checkpoints, and (CV only) {split}_metrics_agg.json, so
 downstream tooling cannot tell which engine produced a run.
 
 Scope: the generic classification families (avmnist/mmimdb/uttfusion/
-kinetics-sounds). Early stopping is tracked per fold for best-checkpoint
-selection but does not stop the stacked program early (all folds run the
-configured epochs); plateau/other schedulers apply per fold via a stacked
+kinetics-sounds). Early stopping is tracked per member for best-checkpoint
+selection but does not stop the stacked program early (all members run the
+configured epochs); plateau/other schedulers apply per member via a stacked
 lr_scale vector.
 """
 
@@ -23,14 +35,13 @@ from __future__ import annotations
 import json
 import time
 from pathlib import Path
-from typing import Any, Dict, List
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from mmtpu.cli import common
-from mmtpu.train.early_stopping import EarlyStopping
 from mmtpu.train.loop import (
     _jsonable,
     resolve_save_target,
@@ -51,27 +62,21 @@ from mmtpu.utils.utils import flatten_leaves
 console = get_console()
 
 
-def _fold_loss(losses: List[np.ndarray], masks: List[np.ndarray],
-               fold: int) -> float:
-    """Mean loss over the fold's REAL steps (padded lockstep steps where the
-    fold was exhausted carry all-zero sample masks and are excluded).
+def _member_loss(losses: List[np.ndarray], masks: List[np.ndarray],
+                 member: int) -> float:
+    """Mean loss over the member's REAL steps (padded lockstep steps where
+    the member was exhausted carry all-zero sample masks and are excluded).
     `losses`/`masks` are host arrays — run_split fetches the whole epoch in
     one bulk device_get rather than K x steps tiny transfers."""
-    ls = np.asarray([l[fold] for l in losses])
-    valid = np.asarray([float(m[fold].sum()) > 0 for m in masks])
+    ls = np.asarray([l[member] for l in losses])
+    valid = np.asarray([float(m[member].sum()) > 0 for m in masks])
     n = max(int(valid.sum()), 1)
     return float(np.sum(ls * valid) / n)
 
 
-def run(cfg, args, json_nesting: str = "reference") -> int:
-    folds = int(cfg.experiment.cross_validation)
-    from mmtpu.cli.train_multimodal import (
-        aggregate_cv_metrics,
-        modalities_for_model,
-    )
+def _make_task(cfg):
+    from mmtpu.cli.train_multimodal import modalities_for_model
 
-    base_metrics_path = Path(cfg.logging.metrics_path)
-    base_model_path = Path(cfg.logging.model_output_path)
     mods = modalities_for_model(cfg.model.model_type)
     model = common.build_model_from_config(cfg.model)
     multilabel = cfg.model.model_type.lower() == "mmimdb"
@@ -81,70 +86,134 @@ def run(cfg, args, json_nesting: str = "reference") -> int:
         input_keys=[str(m) for m in mods],
         multilabel=multilabel,
     )
-    group = next(iter(cfg.metrics.groups), "classification")
+    return model, mods, task
 
-    # -- per-fold assembly (same construction path as run_single) ----------
-    states, fold_ctx = [], []
-    shared_tx = None
+
+def _assemble_member(cfg, args, model, mods, do_train, run_id, seed,
+                     shared_tx):
+    """Build one member's loaders/params/state/services from the
+    currently-set cfg paths (same construction path as run_single).
+    Returns (state, shared_tx, ctx)."""
+    from mmtpu.utils.utils import clean_checkpoints
+
+    cfg.logging.create_directories()
+    clean_checkpoints(cfg.logging.model_output_path)
+    loaders = cfg.data.build_all_loaders(
+        is_train=do_train,
+        is_test=cfg.experiment.is_test and not args.skip_test,
+        seed=seed,
+    )
+    params, batch_stats = common.init_model(
+        model,
+        common.sample_inputs_for(next(iter(loaders.values())).dataset, mods),
+        seed,
+    )
+    params, batch_stats, _ = common.load_pretrained_encoders(
+        params, batch_stats, cfg.model.pretrained_encoders,
+        cfg.logging, run_id,
+    )
+    if shared_tx is None:
+        # one tx object for every member: the stacked state's static pytree
+        # aux data must be identical across members
+        state = common.make_state(
+            model, params, batch_stats, cfg.training,
+            clip=cfg.model.kwargs.get("clip")
+            or cfg.model.kwargs.get("grad_clip"),
+        )
+        shared_tx = state.tx
+    else:
+        state = TrainState.create(
+            apply_fn=model.apply, params=params,
+            batch_stats=batch_stats, tx=shared_tx,
+        )
+    ctx = {
+        "loaders": loaders,
+        "recorder": common.make_recorder(cfg),
+        "ckpt": common.make_checkpoint_manager(cfg),
+        "early": common.make_early_stopping(cfg),
+        "lr": common.make_lr_controller(cfg.training),
+        "metrics_path": Path(cfg.logging.metrics_path),
+        "epoch_metrics": [],
+        "history": {"train": [], "validation": []},
+        "timing": {"train": [], "validation": []},
+    }
+    return state, shared_tx, ctx
+
+
+def run(cfg, args, json_nesting: str = "reference") -> int:
+    """--stacked-folds: all K CV folds in one program."""
+    folds = int(cfg.experiment.cross_validation)
+    base_metrics_path = Path(cfg.logging.metrics_path)
+    base_model_path = Path(cfg.logging.model_output_path)
+    model, mods, task = _make_task(cfg)
     do_train = cfg.experiment.is_train and not getattr(args, "skip_train",
                                                        False)
+    states, members, shared_tx = [], [], None
     for fold in range(1, folds + 1):
         cfg.logging.metrics_path = str(base_metrics_path / f"fold_{fold}")
         cfg.logging.model_output_path = str(base_model_path / f"fold_{fold}")
-        cfg.logging.create_directories()
-        from mmtpu.utils.utils import clean_checkpoints
-
-        clean_checkpoints(cfg.logging.model_output_path)
         for ds_cfg in cfg.data.datasets.values():
             ds_cfg.kwargs["cv_no"] = fold
-        loaders = cfg.data.build_all_loaders(
-            is_train=do_train,
-            is_test=cfg.experiment.is_test and not args.skip_test,
-            seed=cfg.experiment.seed,
+        state, shared_tx, ctx = _assemble_member(
+            cfg, args, model, mods, do_train,
+            run_id=args.run_id, seed=cfg.experiment.seed,
+            shared_tx=shared_tx,
         )
-        params, batch_stats = common.init_model(
-            model,
-            common.sample_inputs_for(
-                next(iter(loaders.values())).dataset, mods
-            ),
-            cfg.experiment.seed,
-        )
-        params, batch_stats, _ = common.load_pretrained_encoders(
-            params, batch_stats, cfg.model.pretrained_encoders,
-            cfg.logging, args.run_id,
-        )
-        if shared_tx is None:
-            # one tx object for every fold: the stacked state's static pytree
-            # aux data must be identical across folds
-            state = common.make_state(
-                model, params, batch_stats, cfg.training,
-                clip=cfg.model.kwargs.get("clip")
-                or cfg.model.kwargs.get("grad_clip"),
-            )
-            shared_tx = state.tx
-        else:
-            state = TrainState.create(
-                apply_fn=model.apply, params=params,
-                batch_stats=batch_stats, tx=shared_tx,
-            )
         states.append(state)
-        fold_ctx.append({
-            "loaders": loaders,
-            "recorder": common.make_recorder(cfg),
-            "ckpt": common.make_checkpoint_manager(cfg),
-            "early": common.make_early_stopping(cfg),
-            "lr": common.make_lr_controller(cfg.training),
-            "metrics_path": Path(cfg.logging.metrics_path),
-            "epoch_metrics": [],
-            "history": {"train": [], "validation": []},
-            "timing": {"train": [], "validation": []},
-        })
+        members.append(ctx)
     cfg.logging.metrics_path = str(base_metrics_path)
     cfg.logging.model_output_path = str(base_model_path)
+    return _run_stacked(
+        cfg, args, task, states, members, json_nesting,
+        agg_path=base_metrics_path, unit="fold",
+    )
+
+
+def run_repeat(args, json_nesting: str = "reference") -> int:
+    """--stacked-runs K: run_ids run_id..run_id+K-1 in one program, member
+    i seeded seed+i (see module docstring)."""
+    import argparse
+
+    k = int(args.stacked_runs)
+    base_run = int(args.run_id)
+    cfg0 = None
+    states, members, shared_tx = [], [], None
+    model = mods = task = None
+    for i in range(k):
+        run_id = base_run + i
+        sub = argparse.Namespace(**vars(args))
+        sub.run_id = run_id
+        cfg = common.load_config(sub)
+        seed = int(cfg.experiment.seed) + i
+        cfg.experiment.seed = seed
+        if cfg0 is None:
+            cfg0 = cfg
+            model, mods, task = _make_task(cfg)
+        do_train = cfg.experiment.is_train and not getattr(
+            args, "skip_train", False
+        )
+        state, shared_tx, ctx = _assemble_member(
+            cfg, args, model, mods, do_train,
+            run_id=run_id, seed=seed, shared_tx=shared_tx,
+        )
+        states.append(state)
+        members.append(ctx)
+    return _run_stacked(
+        cfg0, args, task, states, members, json_nesting,
+        agg_path=None, unit="run",
+    )
+
+
+def _run_stacked(cfg, args, task, states, members, json_nesting: str,
+                 agg_path: Optional[Path], unit: str) -> int:
+    k = len(members)
+    group = next(iter(cfg.metrics.groups), "classification")
+    do_train = cfg.experiment.is_train and not getattr(args, "skip_train",
+                                                       False)
 
     if args.dry_run or cfg.experiment.dry_run:
         console.success(
-            f"dry run complete — {folds} folds stacked, state/loaders built"
+            f"dry run complete — {k} {unit}s stacked, state/loaders built"
         )
         return 0
 
@@ -154,21 +223,21 @@ def run(cfg, args, json_nesting: str = "reference") -> int:
     # Mirror TrainLoop's SCAN-path dropout stream (loop.py: rng starts at
     # PRNGKey(0) per loop; the scan path splits an epoch key then
     # chain-splits per step) so stacked == sequential bit-for-bit even with
-    # dropout on. Every fold's sequential loop starts from the same key.
+    # dropout on. Every member's sequential loop starts from the same key.
     # Scope: the streaming path derives step keys differently (chain-split
     # of the loop rng with no per-epoch key), so with dropout ON and a
     # dataset too large for the device-resident scan budget, stacked and
     # sequential use different (equally valid) dropout masks.
-    fold_rngs = [jax.random.PRNGKey(0) for _ in range(folds)]
+    member_rngs = [jax.random.PRNGKey(0) for _ in range(k)]
 
     def run_split(stacked, split: str, epoch: int, train: bool):
         group_loader = StackedLoaderGroup(
-            [c["loaders"][split] for c in fold_ctx]
+            [c["loaders"][split] for c in members]
         )
         if train:
             epoch_keys = []
-            for f in range(folds):
-                fold_rngs[f], e = jax.random.split(fold_rngs[f])
+            for f in range(k):
+                member_rngs[f], e = jax.random.split(member_rngs[f])
                 epoch_keys.append(e)
         losses, masks = [], []
         t0 = time.time()
@@ -176,7 +245,7 @@ def run(cfg, args, json_nesting: str = "reference") -> int:
             sbatch = jax.device_put(sbatch)
             if train:
                 step_keys = []
-                for f in range(folds):
+                for f in range(k):
                     epoch_keys[f], sr = jax.random.split(epoch_keys[f])
                     step_keys.append(sr)
                 step_rngs = jnp.stack(step_keys)
@@ -188,7 +257,7 @@ def run(cfg, args, json_nesting: str = "reference") -> int:
                 "sample_mask",
                 jnp.ones(np.asarray(out["loss"]).shape + (1,), jnp.float32),
             ))
-            for f, c in enumerate(fold_ctx):
+            for f, c in enumerate(members):
                 vocab = c["loaders"][split].pattern_vocab
                 c["recorder"].update_group_ids(
                     group,
@@ -203,28 +272,29 @@ def run(cfg, args, json_nesting: str = "reference") -> int:
         # (also syncs the device stream so `elapsed` covers real compute)
         losses, masks = jax.device_get((losses, masks))
         elapsed = time.time() - t0
-        per_fold = []
-        for f, c in enumerate(fold_ctx):
-            loss = _fold_loss(losses, masks, f)
+        per_member = []
+        for f, c in enumerate(members):
+            loss = _member_loss(losses, masks, f)
             metrics = flatten_leaves(
                 c["recorder"].calculate_all_groups(epoch=epoch, loss=loss)
             )
             metrics["loss"] = loss
             c["recorder"].reset()
-            per_fold.append(metrics)
+            per_member.append(metrics)
             if split in c["timing"]:
                 c["timing"][split].append(elapsed)
-        return stacked, per_fold, elapsed
+        return stacked, per_member, elapsed
 
     epochs = cfg.training.epochs if do_train else 0
     for epoch in range(1, epochs + 1):
         stacked, train_m, t_tr = run_split(stacked, "train", epoch, True)
         stacked, val_m, t_va = run_split(stacked, "validation", epoch, False)
-        # hoist: one unstack serves every improving fold this epoch (slicing
-        # the full K-state pytree inside the per-fold loop was O(K^2))
-        fold_states = None
+        # hoist: one unstack serves every improving member this epoch
+        # (slicing the full K-state pytree inside the per-member loop was
+        # O(K^2))
+        member_states = None
         scales = []
-        for f, c in enumerate(fold_ctx):
+        for f, c in enumerate(members):
             c["history"]["train"].append(dict(train_m[f]))
             c["history"]["validation"].append(dict(val_m[f]))
             n_tr = max(len(c["loaders"]["train"]), 1)
@@ -248,9 +318,9 @@ def run(cfg, args, json_nesting: str = "reference") -> int:
             # invert best-checkpoint selection for max-mode metrics
             target = resolve_save_target(val_m[f], cfg.logging.save_metric)
             if c["early"].step(float(target)):
-                if fold_states is None:
-                    fold_states = unstack_states(stacked, folds)
-                c["ckpt"].save_checkpoint(fold_states[f], epoch,
+                if member_states is None:
+                    member_states = unstack_states(stacked, k)
+                c["ckpt"].save_checkpoint(member_states[f], epoch,
                                           float(target))
             if c["lr"] is not None:
                 metric = (val_m[f]["loss"]
@@ -258,28 +328,28 @@ def run(cfg, args, json_nesting: str = "reference") -> int:
                 scales.append(c["lr"].step(metric))
             else:
                 scales.append(1.0)
-        # per-fold lr scale: the stacked hyperparam is a (K,) vector the
-        # vmapped update consumes fold-wise
+        # per-member lr scale: the stacked hyperparam is a (K,) vector the
+        # vmapped update consumes member-wise
         hp = getattr(stacked.opt_state, "hyperparams", None)
         if hp is not None and "lr_scale" in hp:
             hp["lr_scale"] = jnp.asarray(
                 scales, dtype=np.asarray(hp["lr_scale"]).dtype
             )
         console.print(
-            f"epoch {epoch}/{epochs} — fold losses "
+            f"epoch {epoch}/{epochs} — {unit} losses "
             f"{[round(m['loss'], 4) for m in train_m]}"
         )
 
-    # -- test: restore each fold's best, evaluate stacked ------------------
-    fold_test: List[Dict[str, Any]] = []
+    # -- test: restore each member's best, evaluate stacked -----------------
+    member_test: List[Dict[str, Any]] = []
     test_split = next(
-        (s for s in fold_ctx[0]["loaders"]
+        (s for s in members[0]["loaders"]
          if s not in ("train", "validation", "embeddings")), None,
     )
     if test_split is not None:
         restored = []
-        final_states = unstack_states(stacked, folds)
-        for f, c in enumerate(fold_ctx):
+        final_states = unstack_states(stacked, k)
+        for f, c in enumerate(members):
             st = final_states[f]
             try:
                 st = c["ckpt"].load_checkpoint(st, "best")
@@ -288,8 +358,8 @@ def run(cfg, args, json_nesting: str = "reference") -> int:
             restored.append(st)
         stacked = stack_states(restored)
         stacked, test_m, t_te = run_split(stacked, test_split, 0, False)
-        for f, c in enumerate(fold_ctx):
-            fold_test.append(test_m[f])
+        for f, c in enumerate(members):
+            member_test.append(test_m[f])
             from mmtpu.reports.report import MetricsReport
 
             MetricsReport(c["metrics_path"]).generate(
@@ -297,7 +367,7 @@ def run(cfg, args, json_nesting: str = "reference") -> int:
             )
             if test_split == "test" and json_nesting == "reference":
                 # sequential schema: a trailing {"test": ...} entry is
-                # appended to each fold's epoch_metrics.json
+                # appended to each member's epoch_metrics.json
                 # (train/loop.py test(); reference train_multimodal.py
                 # :828-855 — no 'metrics' catch-all bucket)
                 entry = split_epoch_entry(
@@ -310,15 +380,15 @@ def run(cfg, args, json_nesting: str = "reference") -> int:
                     json.dumps(_jsonable(c["epoch_metrics"]), indent=4)
                 )
 
-    # per-fold report files, same as sequential run_single (the reference
-    # emits a report per fold too): {train,validation,test}_metrics.json,
+    # per-member report files, same as sequential run_single (the reference
+    # emits a report per fold/run too): {train,validation,test}_metrics.json,
     # timing.csv, model summary
     report_states = (
-        restored if test_split is not None else unstack_states(stacked, folds)
+        restored if test_split is not None else unstack_states(stacked, k)
     )
     from mmtpu.reports import ExperimentReportGenerator
 
-    for f, c in enumerate(fold_ctx):
+    for f, c in enumerate(members):
         ExperimentReportGenerator(
             c["metrics_path"] / "report",
             cfg.experiment.name,
@@ -328,22 +398,25 @@ def run(cfg, args, json_nesting: str = "reference") -> int:
             timing_history=c["timing"],
             params=report_states[f].params,
             test_metrics=(
-                {test_split: fold_test[f]} if f < len(fold_test) else {}
+                {test_split: member_test[f]} if f < len(member_test) else {}
             ),
         )
 
-    for name, agg in (
-        ("train", aggregate_cv_metrics(
-            [c["history"]["train"] for c in fold_ctx]
-        )),
-        ("validation", aggregate_cv_metrics(
-            [c["history"]["validation"] for c in fold_ctx]
-        )),
-        ("test", aggregate_cv_metrics(fold_test)),
-    ):
-        if agg:
-            (base_metrics_path / f"{name}_metrics_agg.json").write_text(
-                json.dumps(agg, indent=4)
-            )
-    console.success(f"stacked CV complete: {folds} folds in one program")
+    if agg_path is not None:
+        from mmtpu.cli.train_multimodal import aggregate_cv_metrics
+
+        for name, agg in (
+            ("train", aggregate_cv_metrics(
+                [c["history"]["train"] for c in members]
+            )),
+            ("validation", aggregate_cv_metrics(
+                [c["history"]["validation"] for c in members]
+            )),
+            ("test", aggregate_cv_metrics(member_test)),
+        ):
+            if agg:
+                (agg_path / f"{name}_metrics_agg.json").write_text(
+                    json.dumps(agg, indent=4)
+                )
+    console.success(f"stacked training complete: {k} {unit}s in one program")
     return 0

@@ -37,8 +37,36 @@ def modalities_for_model(model_type: str):
 
 
 def route(cfg, args, json_nesting: str = "reference") -> int:
-    """Dispatch to single-run / sequential-CV / stacked-CV. Shared by
-    train_multimodal and train_avmnist (which only differs in nesting)."""
+    """Dispatch to single-run / sequential-CV / stacked-CV / stacked-runs.
+    Shared by train_multimodal and train_avmnist (which only differs in
+    nesting)."""
+    runs = int(getattr(args, "stacked_runs", 0) or 0)
+    if runs > 1 and not cfg.experiment.cross_validation:
+        mt = cfg.model.model_type.lower()
+        dp = getattr(args, "data_parallel", None)
+        if dp is None:
+            dp = getattr(cfg.experiment, "data_parallel", None)
+        reason = None
+        if mt in ("mmin", "redcore", "self-mm", "self_mm"):
+            reason = f"--stacked-runs unsupported for {mt}"
+        elif dp and dp != 1:
+            reason = (
+                "--stacked-runs is single-device and data_parallel="
+                f"{dp} was requested"
+            )
+        elif getattr(args, "resume", False):
+            reason = "--resume is not supported by --stacked-runs"
+        if reason is None:
+            from mmtpu.cli import stacked_cv
+
+            return stacked_cv.run_repeat(args, json_nesting=json_nesting)
+        console.warning(f"{reason}; falling back to sequential runs")
+        return sequential_runs(args, runs, json_nesting=json_nesting)
+    if runs > 1:
+        console.warning(
+            "--stacked-runs ignored: the config requests cross-validation "
+            "(use --stacked-folds to stack folds)"
+        )
     if cfg.experiment.cross_validation:
         if getattr(args, "stacked_folds", False):
             mt = cfg.model.model_type.lower()
@@ -74,6 +102,28 @@ def route(cfg, args, json_nesting: str = "reference") -> int:
                 return stacked_cv.run(cfg, args, json_nesting=json_nesting)
         return main_cross_validation(cfg, args, json_nesting=json_nesting)
     return run_single(cfg, args, json_nesting=json_nesting)
+
+
+def sequential_runs(args, runs: int, json_nesting: str = "reference") -> int:
+    """--stacked-runs fallback when stacking can't apply (custom-step model,
+    data_parallel mesh, --resume): the reference's run_n.sh loop
+    (run_n.sh:23-27) — invoke the driver once per run_id, member i seeded
+    base_seed+i so the outputs are bit-identical to the stacked engine's,
+    aborting the sweep on the first failure like the reference script."""
+    import argparse
+
+    base_run = int(args.run_id)
+    for i in range(runs):
+        sub = argparse.Namespace(**vars(args))
+        sub.run_id = base_run + i
+        sub.stacked_runs = 0
+        console.rule(f"run {sub.run_id} ({i + 1}/{runs})")
+        cfg = common.load_config(sub)
+        cfg.experiment.seed = int(cfg.experiment.seed) + i
+        rc = route(cfg, sub, json_nesting=json_nesting)
+        if rc != 0:
+            return rc
+    return 0
 
 
 def main(argv=None) -> int:

@@ -306,3 +306,93 @@ def test_route_stacked_no_dp_uses_stacked_engine(monkeypatch):
     args = SimpleNamespace(stacked_folds=True, data_parallel=None)
     assert tm.route(_route_cfg(dp=None), args, json_nesting="avmnist") == 0
     assert rec.calls == [("stacked", {"json_nesting": "avmnist"})]
+
+
+def test_route_stacked_runs_uses_repeat_engine(monkeypatch):
+    """--stacked-runs K (no CV) dispatches to the stacked repeat engine."""
+    from types import SimpleNamespace
+
+    from mmtpu.cli import stacked_cv
+    from mmtpu.cli import train_multimodal as tm
+
+    calls = []
+    monkeypatch.setattr(
+        stacked_cv, "run_repeat",
+        lambda args, json_nesting: calls.append(json_nesting) or 0,
+    )
+    args = SimpleNamespace(stacked_runs=3, data_parallel=None)
+    assert tm.route(_route_cfg(cv=0), args, json_nesting="avmnist") == 0
+    assert calls == ["avmnist"]
+
+
+def test_route_stacked_runs_dp_falls_back_to_sequential(monkeypatch):
+    """--stacked-runs + data_parallel: the mesh wins — each run trains
+    sequentially on the mesh instead of single-device stacked."""
+    from types import SimpleNamespace
+
+    from mmtpu.cli import train_multimodal as tm
+
+    calls = []
+    monkeypatch.setattr(
+        tm, "sequential_runs",
+        lambda args, runs, json_nesting: calls.append(runs) or 0,
+    )
+    args = SimpleNamespace(stacked_runs=3, data_parallel=2)
+    assert tm.route(_route_cfg(cv=0), args) == 0
+    assert calls == [3]
+
+
+def test_route_stacked_runs_with_cv_warns_and_runs_cv(monkeypatch):
+    """--stacked-runs with a CV config: ignored (folds are the members);
+    the normal CV path runs."""
+    from types import SimpleNamespace
+
+    from mmtpu.cli import train_multimodal as tm
+
+    rec = _Recorder()
+    monkeypatch.setattr(tm, "main_cross_validation", rec("sequential"))
+    args = SimpleNamespace(stacked_runs=2, stacked_folds=False,
+                           data_parallel=None)
+    assert tm.route(_route_cfg(cv=2), args) == 0
+    assert rec.calls == [("sequential", {"json_nesting": "reference"})]
+
+
+def test_stacked_runs_cli_matches_sequential(tmp_path):
+    """--stacked-runs 2 must be bit-comparable to invoking the driver twice
+    with --run_id 1 (base seed) and --run_id 2 --seed base+1: same per-run
+    epoch losses and the same run_id-scoped output layout."""
+    import json
+    from pathlib import Path
+
+    from _cli_harness import run_cli_inproc
+
+    REPO = Path(__file__).resolve().parent.parent
+    cfg = REPO / "configs/avmnist/synthetic_runs.yaml"
+
+    def run(workdir, run_id, extra=()):
+        workdir.mkdir(exist_ok=True)
+        code = run_cli_inproc("mmtpu.cli.train_multimodal", cfg,
+                              run_id=run_id, extra=list(extra), cwd=workdir,
+                              env_extra={"EXP_PATH": str(workdir)})
+        assert code == 0
+        return workdir / "experiments_output/Synthetic_Runs/metrics"
+
+    # sequential equivalents: run 1 at the config seed, run 2 at seed+1
+    seq = run(tmp_path / "seq", "1")
+    run(tmp_path / "seq", "2", extra=["--seed", "12"])
+    stk = run(tmp_path / "stk", "1", extra=["--stacked-runs", "2"])
+
+    for rid in (1, 2):
+        a = json.loads((seq / str(rid) / "epoch_metrics.json").read_text())
+        b = json.loads((stk / str(rid) / "epoch_metrics.json").read_text())
+        la = [e["train"]["loss"] for e in a if "train" in e]
+        lb = [e["train"]["loss"] for e in b if "train" in e]
+        assert len(la) == len(lb) == 2
+        np.testing.assert_allclose(la, lb, rtol=1e-4)
+        ta = [e["test"]["loss"] for e in a if "test" in e]
+        tb = [e["test"]["loss"] for e in b if "test" in e]
+        np.testing.assert_allclose(ta, tb, rtol=1e-4)
+    # the two members trained on different seeds — losses must differ
+    l1 = json.loads((stk / "1" / "epoch_metrics.json").read_text())
+    l2 = json.loads((stk / "2" / "epoch_metrics.json").read_text())
+    assert l1[0]["train"]["loss"] != l2[0]["train"]["loss"]
