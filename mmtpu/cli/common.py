@@ -125,17 +125,15 @@ def apply_platform(args) -> None:
 
 
 def _apply_compilation_cache() -> None:
-    """Honor JAX_COMPILATION_CACHE_DIR in CLI processes.
-
-    jax 0.9 does not read this env var itself (the config default stays
-    None with it set) — apply it explicitly so repeat CLI invocations of
-    the same config skip recompilation. No-op when the var is unset or the
-    cache is already configured."""
+    """Honor JAX_COMPILATION_CACHE_DIR in CLI processes, host-keying it for
+    CPU backends (a CPU backend must never read an unkeyed directory other
+    hosts write — cross-host XLA:CPU AOT entries risk SIGILL; see
+    mmtpu/utils/compile_cache.py). No-op when the var is unset."""
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
     if cache_dir:
         from mmtpu.utils import compile_cache
 
-        compile_cache.enable(
+        compile_cache.enable_env_dir(
             cache_dir,
             min_compile_time_secs=float(
                 os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", 0.0)

@@ -1,15 +1,26 @@
 """Persistent XLA compilation cache, keyed per host CPU.
 
-jax 0.9 ignores the JAX_COMPILATION_CACHE_DIR env var (the config default
-stays None with it set), so callers must apply the config explicitly —
-`enable()` does that. The cache directory is keyed by the host's CPU
-feature set: XLA:CPU AOT results embed machine features, and loading an
-entry compiled on a different machine logs
-"Machine type used for XLA:CPU compilation doesn't match ... could lead
-to execution errors such as SIGILL". Keying the directory avoids ever
-loading another host's AOT artifacts (TPU entries are keyed by the
-accelerator inside the cache key itself, but live in the same per-host
-dir — harmless).
+XLA:CPU AOT results embed LLVM target-machine features; loading an entry
+compiled on a different machine logs "Machine type used for XLA:CPU
+compilation doesn't match ... could lead to execution errors such as
+SIGILL". So CPU backends must only ever read a cache directory keyed by
+this host's CPU fingerprint; TPU executables come back from the compile
+service host-independent and may share an unkeyed directory.
+
+jax DOES read the JAX_COMPILATION_CACHE_DIR env var at import time (the
+config state defaults from the environment) — which is exactly the hazard:
+a caller exporting the raw cache root points a CPU-backend process at a
+directory other hosts write. `enable_for_backend` / `enable_env_dir`
+detect that and redirect CPU backends to the host-keyed subdirectory.
+
+Note on loader noise: this jax build's cpu_aot_loader compares an entry's
+COMPILE feature string (which includes preference pseudo-features like
++prefer-no-gather/+prefer-no-scatter) against the raw CPUID host feature
+list (which never contains pseudo-features), so reloading an entry this
+very host wrote still logs the "machine type ... doesn't match" warning.
+Verified empirically (fresh dir, compile then reload in a second process:
+warning fires). Only genuinely foreign ISA features are a SIGILL hazard;
+the keyed directory guarantees those never appear.
 """
 
 from __future__ import annotations
@@ -19,8 +30,8 @@ import os
 import platform
 
 
-def host_cache_dir(root: str) -> str:
-    """`<root>/.cache/jax/<12-hex CPU fingerprint>`.
+def _host_key() -> str:
+    """12-hex fingerprint of this host's CPU.
 
     The fingerprint must cover everything XLA's target-machine detection
     reads, not just the CPUID feature list: two hosts with identical
@@ -36,8 +47,18 @@ def host_cache_dir(root: str) -> str:
     except OSError:
         fingerprint = ""
     fingerprint = fingerprint or (platform.processor() or platform.machine())
-    key = hashlib.sha1(fingerprint.encode()).hexdigest()[:12]
-    return os.path.join(root, ".cache", "jax", key)
+    return hashlib.sha1(fingerprint.encode()).hexdigest()[:12]
+
+
+def host_cache_dir(root: str) -> str:
+    """`<root>/.cache/jax/<12-hex CPU fingerprint>`."""
+    return os.path.join(root, ".cache", "jax", _host_key())
+
+
+def is_host_keyed(path: str) -> bool:
+    """True when `path` is already THIS host's keyed directory (its last
+    component is the current fingerprint)."""
+    return os.path.basename(os.path.normpath(path)) == _host_key()
 
 
 def _fingerprint_from_cpuinfo(text: str) -> str:
@@ -53,12 +74,17 @@ def enable(
     cache_dir: str,
     min_compile_time_secs: float = 0.0,
     min_entry_size_bytes: int = -1,
+    force: bool = False,
 ) -> None:
-    """Point jax's persistent compile cache at `cache_dir` (idempotent:
-    no-op if a cache dir is already configured)."""
+    """Point jax's persistent compile cache at `cache_dir`.
+
+    Idempotent by default: a directory already configured (by an earlier
+    call OR by jax honoring the env var at import) is left alone. Pass
+    `force=True` to override a pre-set directory — the backend-aware
+    entry points use it to move a CPU backend off an unkeyed dir."""
     import jax
 
-    if jax.config.jax_compilation_cache_dir:
+    if jax.config.jax_compilation_cache_dir and not force:
         return
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -77,10 +103,35 @@ def enable_for_backend(root: str) -> None:
     executables come back from the compile service host-independent and
     live in the shared `<root>/.cache/jax` dir (so e.g. bench.py reuses
     TPU entries cached by earlier runs on any host). The CPU backend gets
-    the per-host keyed subdir."""
+    the per-host keyed subdir — even when the env var pre-configured an
+    unkeyed directory (that pre-set dir is re-keyed, never read raw)."""
     import jax
 
     if jax.default_backend() == "cpu":
-        enable(host_cache_dir(root))
+        current = jax.config.jax_compilation_cache_dir
+        if current and not is_host_keyed(current):
+            # env-provided unkeyed dir: redirect to its host-keyed subdir
+            enable(os.path.join(current, _host_key()), force=True)
+        else:
+            enable(host_cache_dir(root))
     else:
         enable(os.path.join(root, ".cache", "jax"))
+
+
+def enable_env_dir(
+    cache_dir: str,
+    min_compile_time_secs: float = 0.0,
+    min_entry_size_bytes: int = -1,
+) -> None:
+    """Honor a caller/env-provided cache directory, host-keying it first
+    when the active backend is CPU (cross-host XLA:CPU AOT entries risk
+    SIGILL; see module docstring)."""
+    import jax
+
+    if jax.default_backend() == "cpu" and not is_host_keyed(cache_dir):
+        enable(
+            os.path.join(cache_dir, _host_key()),
+            min_compile_time_secs, min_entry_size_bytes, force=True,
+        )
+    else:
+        enable(cache_dir, min_compile_time_secs, min_entry_size_bytes)

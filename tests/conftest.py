@@ -35,11 +35,11 @@ import jax  # noqa: E402
 # the config update below takes precedence over both.
 jax.config.update("jax_platforms", "cpu")
 
-# jax 0.9 does NOT read JAX_COMPILATION_CACHE_DIR from the environment
-# (verified: config stays None with the env var set) — the explicit config
-# update below is what actually enables the persistent cache in this
-# process. The env vars above still matter: mmtpu.cli.common applies them
-# via the same config calls in subprocess CLI runs.
+# jax reads JAX_COMPILATION_CACHE_DIR at import time on this build, but
+# that was observed NOT to happen on an earlier one — the explicit config
+# updates below make this process's cache deterministic either way. The
+# env vars above still matter: subprocess CLI runs re-apply them via
+# mmtpu.cli.common (which host-keys unkeyed dirs for CPU backends).
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -7,6 +7,8 @@ monomodal pretrain artifacts recorded before the fused-default flip chain
 into pretrained UttFusion runs (reference handoff:
 train_monomodal.py:790-802 -> train_multimodal.py:156-204)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -289,6 +291,37 @@ def test_cpu_fingerprint_covers_model_and_mitigations():
     # listings, and cheap)
     two = base + "\n" + "processor\t: 1\nbugs\t\t: other\n"
     assert _fingerprint_from_cpuinfo(two) == fp
+
+
+def test_cpu_backend_never_reads_an_unkeyed_cache_dir(tmp_path, monkeypatch):
+    """An env/caller-provided UNKEYED cache dir must be redirected to its
+    host-keyed subdir for CPU backends — jax honors the env var at import
+    on this build, so without the redirect a CPU process would load AOT
+    entries other hosts wrote into the shared root (SIGILL hazard)."""
+    import jax
+
+    from mmtpu.utils import compile_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        raw = str(tmp_path / "cache")
+        # unkeyed dir pre-set (as jax does from the env at import)
+        jax.config.update("jax_compilation_cache_dir", raw)
+        compile_cache.enable_env_dir(raw)
+        got = jax.config.jax_compilation_cache_dir
+        assert got == os.path.join(raw, compile_cache._host_key())
+        assert compile_cache.is_host_keyed(got)
+        # already-keyed dirs pass through untouched (idempotent)
+        compile_cache.enable_env_dir(got)
+        assert jax.config.jax_compilation_cache_dir == got
+        # enable_for_backend applies the same redirect
+        jax.config.update("jax_compilation_cache_dir", raw)
+        compile_cache.enable_for_backend(str(tmp_path))
+        assert jax.config.jax_compilation_cache_dir == os.path.join(
+            raw, compile_cache._host_key()
+        )
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
 
 
 def test_load_checkpoint_accepts_explicit_path(tmp_path):
