@@ -86,8 +86,13 @@ def standard_arg_parser(description: str) -> argparse.ArgumentParser:
         help="Train K repeat runs (run_id..run_id+K-1, member i seeded "
              "seed+i) simultaneously in one vmapped program — the stacked "
              "equivalent of the reference's run_n.sh sweep loop. Each run "
-             "writes its own run_id-scoped outputs, bit-identical to "
-             "invoking the driver K times with --run_id r --seed (seed+i).",
+             "writes its own run_id-scoped outputs, matching K sequential "
+             "driver invocations (bit-identical on the device-resident "
+             "scan path; with dropout ON and a streaming-path dataset the "
+             "dropout streams differ — see mmtpu/cli/stacked_cv.py). "
+             "Drivers/configs without a stacking engine (CV configs, "
+             "train_monomodal, train_cmam, custom-step models, data "
+             "parallelism, --resume) run the K members sequentially.",
     )
     return p
 
@@ -227,6 +232,12 @@ def finalize_config(cfg, args):
     if getattr(args, "seed", None) is not None:
         cfg.experiment.seed = args.seed
         np.random.seed(args.seed)
+    # --stacked-runs member i trains with seed base+i (run_n.sh semantics);
+    # the offset rides on args so EVERY config loader (standard and CMAM)
+    # applies it in one place.
+    offset = int(getattr(args, "seed_offset", 0) or 0)
+    if offset:
+        cfg.experiment.seed = int(cfg.experiment.seed) + offset
     if getattr(args, "dry_run", False):
         cfg.experiment.dry_run = True
     if getattr(args, "disable_monitoring", False) and hasattr(cfg, "monitoring"):
@@ -239,6 +250,43 @@ def finalize_config(cfg, args):
 def load_config(args) -> StandardMultimodalConfig:
     cfg = StandardMultimodalConfig.load(args.config, run_id=args.run_id)
     return finalize_config(cfg, args)
+
+
+def derive_member_args(args, base_run: int, i: int):
+    """Member i of a --stacked-runs sweep: run_id base+i, seed seed+i
+    (applied by finalize_config via seed_offset), stacking disarmed.
+
+    The ONE definition of the member recipe — the stacked engine
+    (stacked_cv.run_repeat) and every sequential fallback derive members
+    through it, so the \"stacked matches K sequential invocations\"
+    contract can't drift between the two."""
+    sub = argparse.Namespace(**vars(args))
+    sub.run_id = base_run + i
+    sub.stacked_runs = 0
+    sub.seed_offset = i
+    return sub
+
+
+def run_id_sweep(args, run_one) -> int:
+    """Honor --stacked-runs K in drivers WITHOUT a stacking engine
+    (train_monomodal, train_cmam): the reference's run_n.sh loop
+    (run_n.sh:23-27) — invoke run_one once per derived member, aborting
+    the sweep on the first failure like the reference script."""
+    runs = int(getattr(args, "stacked_runs", 0) or 0)
+    if runs <= 1:
+        return run_one(args)
+    console.warning(
+        "this driver has no stacking engine; running the "
+        f"{runs} members sequentially (run_n.sh semantics)"
+    )
+    base_run = int(args.run_id)
+    for i in range(runs):
+        sub = derive_member_args(args, base_run, i)
+        console.rule(f"run {sub.run_id} ({i + 1}/{runs})")
+        rc = run_one(sub)
+        if rc != 0:
+            return rc
+    return 0
 
 
 # ---------------------------------------------------------------------------

@@ -56,6 +56,7 @@ from mmtpu.train.stacked import (
 )
 from mmtpu.train.state import TrainState
 from mmtpu.train.step import ClassificationTask
+from mmtpu.utils.logging import configure_logger, get_logger
 from mmtpu.utils.printing import get_console
 from mmtpu.utils.utils import flatten_leaves
 
@@ -171,21 +172,18 @@ def run(cfg, args, json_nesting: str = "reference") -> int:
 
 def run_repeat(args, json_nesting: str = "reference") -> int:
     """--stacked-runs K: run_ids run_id..run_id+K-1 in one program, member
-    i seeded seed+i (see module docstring)."""
-    import argparse
-
+    i seeded seed+i (see module docstring). Members come from
+    common.derive_member_args — the same recipe the sequential fallback
+    uses, so the two can't drift apart."""
     k = int(args.stacked_runs)
     base_run = int(args.run_id)
     cfg0 = None
     states, members, shared_tx = [], [], None
     model = mods = task = None
     for i in range(k):
-        run_id = base_run + i
-        sub = argparse.Namespace(**vars(args))
-        sub.run_id = run_id
+        sub = common.derive_member_args(args, base_run, i)
         cfg = common.load_config(sub)
-        seed = int(cfg.experiment.seed) + i
-        cfg.experiment.seed = seed
+        seed = int(cfg.experiment.seed)
         if cfg0 is None:
             cfg0 = cfg
             model, mods, task = _make_task(cfg)
@@ -194,10 +192,24 @@ def run_repeat(args, json_nesting: str = "reference") -> int:
         )
         state, shared_tx, ctx = _assemble_member(
             cfg, args, model, mods, do_train,
-            run_id=run_id, seed=seed, shared_tx=shared_tx,
+            run_id=sub.run_id, seed=seed, shared_tx=shared_tx,
         )
         states.append(state)
         members.append(ctx)
+    # Each member's load_config pointed the global logger at ITS
+    # logs/<run_id>/run_<run_id>.log (so per-member assembly lines land in
+    # the member's own file) — but the K runs now train as ONE program, so
+    # re-point the logger at a sweep-scoped file instead of leaving every
+    # training-phase line in the LAST member's log.
+    configure_logger(
+        cfg0.logging.log_path,
+        suffix=f"runs_{base_run}-{base_run + k - 1}_stacked",
+    )
+    get_logger().info(
+        "stacked --stacked-runs sweep: training-phase logs for runs "
+        "%d..%d are combined in this file (per-run metrics/checkpoints "
+        "stay run_id-scoped)", base_run, base_run + k - 1,
+    )
     return _run_stacked(
         cfg0, args, task, states, members, json_nesting,
         agg_path=None, unit="run",
@@ -253,17 +265,21 @@ def _run_stacked(cfg, args, task, states, members, json_nesting: str,
             else:
                 out = eval_step(stacked, sbatch)
             losses.append(out["loss"])
-            masks.append(out.get(
-                "sample_mask",
-                jnp.ones(np.asarray(out["loss"]).shape + (1,), jnp.float32),
-            ))
+            mask = out.get("sample_mask")
+            if mask is None:
+                # .shape on the device array — np.asarray here would force
+                # a blocking device→host sync EVERY step (a .get default is
+                # evaluated eagerly), serializing dispatch and defeating
+                # the one-bulk-transfer design below
+                mask = jnp.ones(out["loss"].shape + (1,), jnp.float32)
+            masks.append(mask)
             for f, c in enumerate(members):
                 vocab = c["loaders"][split].pattern_vocab
                 c["recorder"].update_group_ids(
                     group,
                     out["preds"][f], out["labels"][f],
                     out["pattern_id"][f] if "pattern_id" in out
-                    else np.zeros(np.asarray(out["preds"][f]).shape[0],
+                    else np.zeros(out["preds"][f].shape[0],
                                   np.int32),
                     vocab,
                     out["sample_mask"][f] if "sample_mask" in out else None,

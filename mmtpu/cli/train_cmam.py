@@ -41,6 +41,12 @@ def main(argv=None) -> int:
     )
     args = parser.parse_args(argv)
     common.apply_platform(args)
+    # no stacking engine here — --stacked-runs K runs the members
+    # sequentially (run_n.sh semantics) instead of silently training one
+    return common.run_id_sweep(args, _run_one)
+
+
+def _run_one(args) -> int:
     cfg = CMAMConfig.load(args.config, run_id=args.run_id)
     common.finalize_config(cfg, args)
 

@@ -25,6 +25,12 @@ console = get_console()
 def main(argv=None) -> int:
     args = common.standard_arg_parser(__doc__).parse_args(argv)
     common.apply_platform(args)
+    # no stacking engine here — --stacked-runs K runs the members
+    # sequentially (run_n.sh semantics) instead of silently training one
+    return common.run_id_sweep(args, _run_one)
+
+
+def _run_one(args) -> int:
     cfg = common.load_config(args)
 
     modality = common.infer_monomodal_modality(cfg)

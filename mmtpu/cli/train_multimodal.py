@@ -63,10 +63,15 @@ def route(cfg, args, json_nesting: str = "reference") -> int:
         console.warning(f"{reason}; falling back to sequential runs")
         return sequential_runs(args, runs, json_nesting=json_nesting)
     if runs > 1:
+        # cross-validation has no run-stacking engine (the vmap axis is
+        # already folds) — but the user still asked for K repeats, so run
+        # them sequentially like run_n.sh rather than dropping K-1 runs.
         console.warning(
-            "--stacked-runs ignored: the config requests cross-validation "
-            "(use --stacked-folds to stack folds)"
+            "--stacked-runs with a cross-validation config runs the "
+            f"{runs} repeats sequentially (use --stacked-folds to stack "
+            "folds within each run)"
         )
+        return sequential_runs(args, runs, json_nesting=json_nesting)
     if cfg.experiment.cross_validation:
         if getattr(args, "stacked_folds", False):
             mt = cfg.model.model_type.lower()
@@ -105,21 +110,17 @@ def route(cfg, args, json_nesting: str = "reference") -> int:
 
 
 def sequential_runs(args, runs: int, json_nesting: str = "reference") -> int:
-    """--stacked-runs fallback when stacking can't apply (custom-step model,
-    data_parallel mesh, --resume): the reference's run_n.sh loop
-    (run_n.sh:23-27) — invoke the driver once per run_id, member i seeded
-    base_seed+i so the outputs are bit-identical to the stacked engine's,
-    aborting the sweep on the first failure like the reference script."""
-    import argparse
-
+    """--stacked-runs fallback when stacking can't apply (CV config,
+    custom-step model, data_parallel mesh, --resume): the reference's
+    run_n.sh loop (run_n.sh:23-27) — invoke the driver once per run_id,
+    members derived by the SAME recipe as the stacked engine
+    (common.derive_member_args) so the outputs match it, aborting the
+    sweep on the first failure like the reference script."""
     base_run = int(args.run_id)
     for i in range(runs):
-        sub = argparse.Namespace(**vars(args))
-        sub.run_id = base_run + i
-        sub.stacked_runs = 0
+        sub = common.derive_member_args(args, base_run, i)
         console.rule(f"run {sub.run_id} ({i + 1}/{runs})")
         cfg = common.load_config(sub)
-        cfg.experiment.seed = int(cfg.experiment.seed) + i
         rc = route(cfg, sub, json_nesting=json_nesting)
         if rc != 0:
             return rc

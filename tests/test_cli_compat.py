@@ -44,6 +44,24 @@ def test_reference_mono_config_dry_run(capfd):
     assert "dry run complete" in out
 
 
+@pytest.mark.skipif(
+    not REF_MONO.exists() or not (REPO / "DATA/avmnist/train_subset.csv").exists(),
+    reason="reference configs or AVMNIST index not available",
+)
+def test_mono_stacked_runs_sweeps_sequentially(capfd):
+    """train_monomodal has no stacking engine — --stacked-runs K must run
+    the K members sequentially (run_n.sh semantics), never silently train
+    one run. train_cmam routes through the same common.run_id_sweep."""
+    code = _run_cli_inproc("mmtpu.cli.train_monomodal", REF_MONO,
+                           run_id="7",
+                           extra=["--dry-run", "--stacked-runs", "2"],
+                           env_extra={"EXP_PATH": str(REPO)}, cwd=REPO)
+    out = capfd.readouterr().out
+    assert code == 0
+    assert out.count("dry run complete") == 2
+    assert "run 7 (1/2)" in out and "run 8 (2/2)" in out
+
+
 @pytest.fixture(scope="module")
 def _encoder_artifacts():
     """Synthesize the monomodal→multimodal handoff artifacts the north-star

@@ -342,19 +342,72 @@ def test_route_stacked_runs_dp_falls_back_to_sequential(monkeypatch):
     assert calls == [3]
 
 
-def test_route_stacked_runs_with_cv_warns_and_runs_cv(monkeypatch):
-    """--stacked-runs with a CV config: ignored (folds are the members);
-    the normal CV path runs."""
+def test_route_stacked_runs_with_cv_falls_back_to_sequential(monkeypatch):
+    """--stacked-runs with a CV config: no stacking engine exists (the vmap
+    axis is folds), but the K requested repeats must still run — route
+    falls back to sequential_runs(K) instead of dropping K-1 runs."""
     from types import SimpleNamespace
 
     from mmtpu.cli import train_multimodal as tm
 
-    rec = _Recorder()
-    monkeypatch.setattr(tm, "main_cross_validation", rec("sequential"))
+    calls = []
+    monkeypatch.setattr(
+        tm, "sequential_runs",
+        lambda args, runs, json_nesting="reference": calls.append(runs) or 0,
+    )
     args = SimpleNamespace(stacked_runs=2, stacked_folds=False,
                            data_parallel=None)
     assert tm.route(_route_cfg(cv=2), args) == 0
-    assert rec.calls == [("sequential", {"json_nesting": "reference"})]
+    assert calls == [2]
+
+
+def test_sequential_runs_derive_members_like_stacked_engine(monkeypatch):
+    """sequential_runs and run_id_sweep both derive members through
+    common.derive_member_args: run_id base+i, seed_offset i (applied by
+    finalize_config), stacking disarmed — the single recipe the stacked
+    engine also uses."""
+    from types import SimpleNamespace
+
+    from mmtpu.cli import common as cli_common
+    from mmtpu.cli import train_multimodal as tm
+
+    base = SimpleNamespace(run_id=3, stacked_runs=2, config="x.yaml")
+    seen = []
+
+    def fake_load(sub):
+        seen.append((sub.run_id, sub.seed_offset, sub.stacked_runs))
+        return _route_cfg(cv=0)
+
+    monkeypatch.setattr(cli_common, "load_config", fake_load)
+    monkeypatch.setattr(tm, "route", lambda cfg, sub, json_nesting: 0)
+    assert tm.sequential_runs(base, 2) == 0
+    assert seen == [(3, 0, 0), (4, 1, 0)]
+
+    # run_id_sweep (train_monomodal/train_cmam's fallback): same recipe
+    swept = []
+    rc = cli_common.run_id_sweep(
+        base, lambda sub: swept.append(
+            (sub.run_id, sub.seed_offset, sub.stacked_runs)) or 0
+    )
+    assert rc == 0
+    assert swept == [(3, 0, 0), (4, 1, 0)]
+
+
+def test_finalize_config_applies_seed_offset(tmp_path):
+    """Member i's seed = config seed + i, applied centrally so BOTH config
+    loaders (standard and CMAM) honor the sweep recipe."""
+    from types import SimpleNamespace
+
+    from mmtpu.cli import common as cli_common
+
+    cfg = _route_cfg(cv=0)
+    cfg.experiment.seed = 10
+    cfg.logging = SimpleNamespace(
+        create_directories=lambda: None, log_path=str(tmp_path),
+    )
+    args = SimpleNamespace(run_id=1, seed=None, seed_offset=3)
+    out = cli_common.finalize_config(cfg, args)
+    assert out.experiment.seed == 13
 
 
 def test_stacked_runs_cli_matches_sequential(tmp_path):
