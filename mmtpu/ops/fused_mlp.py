@@ -42,6 +42,24 @@ def _xla_mlp(x, weights, biases):
     return h
 
 
+def _pallas_fits(B: int, dims) -> bool:
+    """Conservative VMEM admission (mirrors ops/lstm.py:_pallas_fits).
+
+    Every weight block is full-resident per grid step (in_specs index
+    lambda i: (0,0)) alongside the batch tile, the widest activation, and
+    the output tile. The measured-good AVMNIST head is ~0.4 MB; admit up
+    to a 40 MB f32 footprint and let everything bigger (e.g. 2048x4096
+    FcClassifier stacks, 32 MB for ONE weight) take the XLA fallback
+    instead of failing the whole program at compile with a VMEM OOM."""
+    pdims = [_round_up(d, LANE) for d in dims]
+    BT = min(_round_up(B, SUBLANE), 512)
+    weight_bytes = sum(
+        pdims[i] * pdims[i + 1] + pdims[i + 1] for i in range(len(dims) - 1)
+    )
+    act_bytes = BT * (pdims[0] + max(pdims) + pdims[-1])
+    return 4 * (weight_bytes + act_bytes) <= 40 * 2**20
+
+
 def _pallas_forward(x, weights, biases):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -111,6 +129,9 @@ def fused_mlp(x, weights: Tuple, biases: Tuple):
     # multi-platform / symbolic-batch artifacts never embed Pallas — the
     # gate lives HERE (mirroring ops/lstm.py) so every caller is covered
     if _ops.xla_forced() or jax.default_backend() != "tpu":
+        return _xla_mlp(x, weights, biases)
+    dims = [x.shape[1]] + [w.shape[1] for w in weights]
+    if not _pallas_fits(x.shape[0], dims):
         return _xla_mlp(x, weights, biases)
     return _pallas_forward(x, weights, biases)
 

@@ -34,7 +34,7 @@ import numpy as np
 
 from mmtpu.modalities import Modality
 from mmtpu.train.state import TrainState
-from mmtpu.train.step import ClassificationTask
+from mmtpu.train.step import ClassificationTask, train_step_core
 
 DEFAULT_BUDGET_BYTES = 4 * 2**30  # 4 GiB of HBM for resident data
 
@@ -90,9 +90,10 @@ class DeviceResidentData(struct.PyTreeNode):
 
 
 def _replicated(mesh):
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    # single definition of replication placement: parallel/mesh.py
+    from mmtpu.parallel.mesh import replicate
 
-    return NamedSharding(mesh, P())
+    return replicate(mesh)
 
 
 def replicate_tree(tree, mesh):
@@ -153,28 +154,12 @@ def make_scan_train_epoch(
             state, rng = carry
             rng, step_rng = jax.random.split(rng)
             batch = _gather_batch(data, xs)
-            sample_mask = batch.get("sample_mask")
-
-            def loss_fn(params):
-                variables = {"params": params}
-                if state.batch_stats:
-                    variables["batch_stats"] = state.batch_stats
-                out = task.apply(
-                    variables, batch, train=True, rngs={"dropout": step_rng},
-                    mutable=["batch_stats"] if state.batch_stats else False,
-                )
-                if state.batch_stats:
-                    logits, updates = out
-                    new_stats = updates["batch_stats"]
-                else:
-                    logits, new_stats = out, state.batch_stats
-                loss = task.loss(logits, batch, sample_mask=sample_mask)
-                return loss, (logits, new_stats)
-
-            (loss, (logits, new_stats)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params)
-            state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+            # the step math is step.train_step_core — ONE definition shared
+            # with the streaming path, so the module-header guarantee
+            # ("semantics identical to the streaming path") is structural
+            state, loss, logits, _grads, sample_mask = train_step_core(
+                task, state, batch, step_rng
+            )
             ys = {
                 "loss": loss,
                 "preds": task.predictions(logits),

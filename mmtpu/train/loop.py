@@ -184,13 +184,25 @@ class TrainLoop:
             from mmtpu.parallel.mesh import DATA_AXIS
 
             dp = mesh.shape[DATA_AXIS] if mesh is not None else 1
-            budget = dl.DEFAULT_BUDGET_BYTES
-            for split, loader in loaders.items():
+            # 'auto' budgets the CUMULATIVE resident bytes (all admitted
+            # splits live in HBM simultaneously for the whole run) — per-
+            # split checks would happily upload 3 near-budget splits and
+            # OOM. Train is admitted first (it runs every epoch), then
+            # validation, then the rest; overflow splits stream.
+            remaining = dl.DEFAULT_BUDGET_BYTES
+            priority = {"train": 0, "validation": 1}
+            ordered = sorted(
+                loaders.items(), key=lambda kv: priority.get(kv[0], 2)
+            )
+            for split, loader in ordered:
                 ds = getattr(loader, "dataset", None)
                 if ds is None or not getattr(ds, "arrays", None):
                     continue
-                if device_resident == "auto" and dl.dataset_nbytes(ds) > budget:
-                    continue
+                if device_resident == "auto":
+                    nbytes = dl.dataset_nbytes(ds)
+                    if nbytes > remaining:
+                        continue
+                    remaining -= nbytes
                 if mesh is not None and loader.batch_size % dp:
                     continue  # batch not shardable over the data axis
                 data = dl.DeviceResidentData.upload(ds, mesh=mesh)
@@ -336,7 +348,10 @@ class TrainLoop:
             mon.end_epoch(self.state)
         jax.block_until_ready(self.state.params)
         self.timing_history["train"].append(time.time() - t0)
-        return float(np.mean(jax.device_get(losses)))
+        # zero-batch epoch (split smaller than batch_size with drop_last):
+        # mirror eval_epoch's guard instead of np.mean([]) -> NaN landing
+        # silently in epoch_metrics.json
+        return float(np.mean(jax.device_get(losses))) if losses else 0.0
 
     def eval_epoch(self, split: str) -> float:
         if split in self._scan:
@@ -584,6 +599,17 @@ class TrainLoop:
         train_avmnist.py does not append one)."""
         try:
             self.state = self.ckpt.load_checkpoint(self.state, "best")
+            # load_checkpoint returns host-numpy leaves: commit them back
+            # to device once here, or the streaming eval path re-uploads
+            # the whole parameter tree EVERY batch (and the mesh scan path
+            # loses the replicated layout the epoch program was compiled
+            # against — same re-establishment _try_resume does)
+            if self.mesh is not None:
+                from mmtpu.train import device_loop as dl
+
+                self.state = dl.replicate_tree(self.state, self.mesh)
+            else:
+                self.state = jax.device_put(self.state)
         except FileNotFoundError:
             logger.warning("no best checkpoint — testing current params")
         results = {}

@@ -88,6 +88,44 @@ class ClassificationTask:
         )["total_loss"]
 
 
+def train_step_core(task: ClassificationTask, state: TrainState,
+                    batch: Dict[str, Any], step_rng):
+    """The ONE definition of a gradient step's math: variables assembly,
+    batch_stats mutability, padded-row-masked loss, apply_gradients.
+    Shared by the streaming step (make_train_step below) and the
+    device-resident scan body (device_loop.make_scan_train_epoch) so the
+    two execution modes cannot drift semantically.
+
+    Returns (new_state, loss, logits, grads, sample_mask)."""
+    sample_mask = batch.get("sample_mask")
+
+    def loss_fn(params):
+        variables = {"params": params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        out = task.apply(
+            variables,
+            batch,
+            train=True,
+            rngs={"dropout": step_rng},
+            mutable=["batch_stats"] if state.batch_stats else False,
+        )
+        if state.batch_stats:
+            logits, updates = out
+            new_stats = updates["batch_stats"]
+        else:
+            logits, new_stats = out, state.batch_stats
+        # padded tail rows must not contribute to the loss
+        loss = task.loss(logits, batch, sample_mask=sample_mask)
+        return loss, (logits, new_stats)
+
+    (loss, (logits, new_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+    new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+    return new_state, loss, logits, grads, sample_mask
+
+
 def make_train_step(
     task: ClassificationTask,
     mesh=None,
@@ -102,32 +140,9 @@ def make_train_step(
     """
 
     def step(state: TrainState, batch: Dict[str, Any], rng) -> Any:
-        sample_mask = batch.get("sample_mask")
-
-        def loss_fn(params):
-            variables = {"params": params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-            out = task.apply(
-                variables,
-                batch,
-                train=True,
-                rngs={"dropout": rng},
-                mutable=["batch_stats"] if state.batch_stats else False,
-            )
-            if state.batch_stats:
-                logits, updates = out
-                new_stats = updates["batch_stats"]
-            else:
-                logits, new_stats = out, state.batch_stats
-            # padded tail rows must not contribute to the loss
-            loss = task.loss(logits, batch, sample_mask=sample_mask)
-            return loss, (logits, new_stats)
-
-        (loss, (logits, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
-        new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        new_state, loss, logits, grads, sample_mask = train_step_core(
+            task, state, batch, rng
+        )
         out = {
             "loss": loss,
             "preds": task.predictions(logits),

@@ -345,3 +345,39 @@ def test_eval_batch_factor_auto():
     loop = build_loop("on", eval_batch_factor=None)
     assert loop._scan["validation"][2] == 96  # 32 x auto-factor 3
     assert loop._scan["train"][2] == 32
+
+
+def test_auto_budget_is_cumulative(monkeypatch):
+    """'auto' admits splits against ONE shared budget (everything admitted
+    is resident simultaneously), train first — three splits that each fit
+    individually must not all be admitted when their SUM exceeds it."""
+    from mmtpu.train import device_loop as dl
+
+    ds_bytes = None
+
+    def fake_nbytes(ds):
+        return ds_bytes
+
+    monkeypatch.setattr(dl, "dataset_nbytes", fake_nbytes)
+    # per-split size 60% of budget: train fits, validation (and any later
+    # split) must stream
+    monkeypatch.setattr(
+        dl, "DEFAULT_BUDGET_BYTES", 100, raising=True
+    )
+    ds_bytes = 60
+    loop = build_loop("auto")
+    assert "train" in loop._scan
+    assert "validation" not in loop._scan
+
+
+def test_test_restores_params_to_device():
+    """test() restores the best checkpoint (host-numpy leaves) and must
+    commit it back to device ONCE — leaving numpy leaves in self.state
+    makes the streaming eval path re-upload the whole parameter tree
+    every batch (review finding; ~16 MB/s over the axon tunnel)."""
+    loop = build_loop("off", epochs=1)
+    loop.loaders["test"] = loop.loaders["validation"]
+    loop.run()
+    loop.test()
+    leaves = jax.tree_util.tree_leaves(loop.state.params)
+    assert all(isinstance(l, jax.Array) for l in leaves)

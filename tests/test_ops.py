@@ -55,3 +55,16 @@ def test_gradients_match_reference():
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, ws, bs)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_fits_admission():
+    """VMEM admission gate (mirrors ops/lstm.py): the measured-good AVMNIST
+    head fits; a 2048x4096 FcClassifier-sized stack (32 MB for ONE weight
+    block, all blocks resident per grid step) must take the XLA fallback
+    instead of failing the program at compile with a VMEM OOM."""
+    from mmtpu.ops.fused_mlp import _pallas_fits
+
+    assert _pallas_fits(1024, [192, 128, 64, 10])   # AVMNIST fusion head
+    assert _pallas_fits(128, [256, 256, 128])
+    assert not _pallas_fits(128, [2048, 4096, 2048])
+    assert not _pallas_fits(512, [4096, 4096])
