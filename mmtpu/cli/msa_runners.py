@@ -52,7 +52,9 @@ def run(cfg, args, cv_no=None) -> int:
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     state = common.make_state(model, params, batch_stats, cfg.training,
-        clip=cfg.model.kwargs.get("clip") or cfg.model.kwargs.get("grad_clip"))
+        clip=cfg.model.kwargs.get("clip") or cfg.model.kwargs.get("grad_clip")
+        # MulT spells it clip_grad_norm (reference msa/mult.py:74)
+        or cfg.model.kwargs.get("clip_grad_norm"))
 
     if mt == "mmin":
         from mmtpu.train.mmin_step import (
@@ -110,8 +112,13 @@ def run(cfg, args, cv_no=None) -> int:
             model=model, loss_group=cfg.training.loss_functions,
             loss_beta=cfg.model.kwargs.get("loss_beta", 0.95),
             interval_i=cfg.model.kwargs.get("interval_i", 2),
+            # every config-tunable knob of the reference loss reaches the
+            # step (reference redcore.py:21,39-40) — lambda_one scales the
+            # KLD terms, eta_ext the 500-step eta escalation
+            eta_ext=cfg.model.kwargs.get("eta_ext", 1.5),
+            lambda_one=cfg.model.kwargs.get("lambda_one", 0.0008),
         )
-        sched = RedCoreSchedState.create()
+        sched = RedCoreSchedState.create(eta=cfg.model.kwargs.get("eta", 0.001))
         train_builder = make_redcore_train_step
 
         def make_train(task):

@@ -174,7 +174,9 @@ def run_single(cfg, args, cv_no=None, json_nesting="reference", collect=None) ->
         params, batch_stats, cfg.model.pretrained_encoders, cfg.logging, args.run_id
     )
     state = common.make_state(model, params, batch_stats, cfg.training,
-        clip=cfg.model.kwargs.get("clip") or cfg.model.kwargs.get("grad_clip"))
+        clip=cfg.model.kwargs.get("clip") or cfg.model.kwargs.get("grad_clip")
+        # MulT spells it clip_grad_norm (reference msa/mult.py:74)
+        or cfg.model.kwargs.get("clip_grad_norm"))
 
     multilabel = cfg.model.model_type.lower() == "mmimdb"
     task = ClassificationTask(

@@ -85,6 +85,9 @@ class MultModalTransformer(nn.Module):
     num_heads: int = 5
     num_layers: int = 5
     attention_dropout: float = 0.1
+    # accepted-but-unread in the REFERENCE too: its _get_network ignores
+    # the modality type ("unused, kept for compatibility", msa/mult.py:161)
+    # and hardcodes attention_dropout for all four stacks — reproduced
     attention_dropout_a: float = 0.0
     attention_dropout_v: float = 0.0
     relu_dropout: float = 0.1
@@ -142,21 +145,36 @@ class MultModalTransformer(nn.Module):
         logits = nn.Dense(self.output_dim, name="output_layer")(h)
 
         if self.use_discriminator:
-            # domain discriminator over pooled crossmodal features: which
-            # stream (text-conditioned vs other-conditioned) produced it
+            # Domain discriminator over pooled crossmodal features (which
+            # stream — text-conditioned vs audio-conditioned — produced
+            # it). The reference declares this head but never trains it:
+            # its lambda_d wiring is a self-assignment no-op (msa/mult.py:
+            # 113-115) and the model is unregistered from the CLI. Here
+            # the head is actually trainable: its weighted BCE rides the
+            # return value as `aux_loss`, which ClassificationTask adds to
+            # the classification loss — no custom step needed.
             disc_in = jnp.concatenate(
                 [masked_mean_pool(a2t, lengths), masked_mean_pool(t2a, lengths)],
                 axis=0,
             )
             disc = nn.Dense(1, name="discriminator")(
                 nn.relu(nn.Dense(self.attention_dim, name="disc_hidden")(disc_in))
-            )
+            ).reshape(-1)
             disc_labels = jnp.concatenate(
                 [jnp.ones(a2t.shape[0]), jnp.zeros(t2a.shape[0])]
             )
-            return {
-                "logits": logits,
-                "disc_logits": disc.reshape(-1),
-                "disc_labels": disc_labels,
-            }
+            from mmtpu.models.norm import current_mask
+
+            import optax
+
+            per = optax.sigmoid_binary_cross_entropy(disc, disc_labels)
+            sm = current_mask()
+            if sm is not None:
+                # padded tail rows (batch padding) carry no signal; the
+                # mask covers each pooled copy of the batch
+                m = jnp.concatenate([sm, sm]).astype(per.dtype)
+                disc_loss = jnp.sum(per * m) / jnp.maximum(jnp.sum(m), 1.0)
+            else:
+                disc_loss = jnp.mean(per)
+            return {"logits": logits, "aux_loss": self.lambda_d * disc_loss}
         return logits

@@ -80,6 +80,11 @@ class Transformer(nn.Module):
         if train:
             eps = jax.random.normal(self.make_rng("sample"), mu.shape)
         else:
+            # documented deviation: the reference samples randn_like in
+            # BOTH train and eval (networks/transformer.py:134), so its
+            # eval features are stochastic run-to-run. Deterministic
+            # z = mu at eval is standard VAE inference and keeps the eval
+            # steps rng-free; the train-time objective is identical.
             eps = jnp.zeros_like(mu)
         z = mu + eps * jnp.exp(0.5 * log_var)
         return z, mu, log_var

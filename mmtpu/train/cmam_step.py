@@ -264,6 +264,12 @@ def make_dual_cmam_train_step(task: DualCMAMTask) -> Callable:
                 if task.cls_from_rec else None
             )
             labels = batch.get(task.labels_key) if task.cls_from_rec else None
+            # Faithful reference quirk (models/cmams.py:707-726): BOTH
+            # CMAMLoss calls receive the same cls_logits/cls_labels and
+            # both totals are summed, so the classification term is
+            # effectively counted at 2x cls_weight. Reproduced, not
+            # "fixed" — halving it would change the trained loss surface
+            # vs the reference.
             terms_one = task.loss(rec_one, tgt_one, cls_logits=cls_logits,
                                   cls_labels=labels,
                                   sample_mask=batch.get("sample_mask"))

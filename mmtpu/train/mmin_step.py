@@ -2,10 +2,20 @@
 
 loss = CE(logits, labels) + MSE(fusion, recon_fusion)
      + cycle-MSE(stop_grad(fusion), recon_cycle)
+     [+ MSE(recon_fusion, teacher_embds) when a teacher is configured]
 
 The frozen UttFusion teacher encodes the REVERSE inputs
 (original × (1−mask), reference batch keys `{mod}_reverse`,
 data/base_dataset.py:72); reverse inputs are synthesized on device here.
+
+Documented deviation — the teacher term: the reference computes the
+teacher embedding under no_grad every training forward (mmin.py:91-94)
+but its loss (mmin.py:147-152) never consumes it — the MMIN paper's
+imputation objective is declared dead in that code. Here the teacher
+embedding IS the imputation target (the bracketed term above, weighted
+by the configured 'mse' weight); without a teacher the loss is the
+reference's exactly. The eval loss matches the reference eval
+(mmin.py:210-215: ce + mse + cycle, no teacher) in both cases.
 """
 
 from __future__ import annotations

@@ -7,6 +7,13 @@ losses driving the adaptive β rebalance every `interval_i` steps (η grows
 ×eta_ext every 500 steps). The reference keeps β/EMAs as Python floats
 (one host sync per step); here they ride in a `RedCoreSchedState` pytree so
 the whole schedule compiles into the step.
+
+Faithful reference quirk, verified not a porting gap: the reference's loss
+(redcore.py:283) is ce + KLDs + aux ces + mse — it contains NO term over
+netAE/netAE_cycle outputs (recon_fusion/recon_cycle/latent are returned
+but unused; netC classifies feature_fusion_r directly, redcore.py:123),
+so those AE subtrees train with zero gradient in the reference too. They
+are reproduced for checkpoint/output-schema parity, not invented here.
 """
 
 from __future__ import annotations
@@ -30,11 +37,11 @@ class RedCoreSchedState(struct.PyTreeNode):
     iter_count: jnp.ndarray  # scalar int
 
     @classmethod
-    def create(cls) -> "RedCoreSchedState":
+    def create(cls, eta: float = 0.001) -> "RedCoreSchedState":
         return cls(
             loss_ema=jnp.zeros((3,), jnp.float32),
             beta=jnp.ones((3,), jnp.float32),
-            eta=jnp.asarray(0.001, jnp.float32),
+            eta=jnp.asarray(eta, jnp.float32),
             iter_count=jnp.zeros((), jnp.int32),
         )
 
@@ -73,7 +80,11 @@ def make_redcore_train_step(task: RedCoreTask) -> Callable:
         iA = batch.get("audio_mask", jnp.ones(batch["labels"].shape[0]))
         iV = batch.get("video_mask", jnp.ones_like(iA))
         iT = batch.get("text_mask", jnp.ones_like(iA))
-        B = iA.shape[0]
+        # batch_size = REAL rows (the reference's ragged batches have no
+        # padding; dividing by the padded size would shrink the KLD/MSE
+        # terms on the tail batch relative to the reference)
+        _sm = batch.get("sample_mask")
+        B = iA.shape[0] if _sm is None else jnp.maximum(jnp.sum(_sm), 1.0)
 
         def loss_fn(params):
             from mmtpu.models.norm import batch_mask
@@ -130,9 +141,14 @@ def make_redcore_train_step(task: RedCoreTask) -> Callable:
                 # the present-sample count, so a modality's term shrinks
                 # with its presence frequency. Reproduced, not "fixed" —
                 # changing it would change the trained loss surface.
+                # (Two documented deviations: the full-batch mean uses the
+                # REAL row count, not the padded one — reference batches
+                # are ragged — and each modality divides by its OWN count;
+                # the reference's batch_size_V = sum(missing_index_A) at
+                # redcore.py:233 is a copy-paste typo.)
                 diff = (gen - feat) * idx[:, None]
                 denom = jnp.maximum(jnp.sum(idx), 1.0)
-                return jnp.mean(diff**2) / denom
+                return jnp.sum(diff**2) / (B * gen.shape[-1]) / denom
 
             mse_A = masked_mse(res["gen_A"], res["feature_A_miss"], iA)
             mse_V = masked_mse(res["gen_V"], res["feature_V_miss"], iV)

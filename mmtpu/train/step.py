@@ -75,6 +75,10 @@ class ClassificationTask:
             )
 
     def predictions(self, logits: jnp.ndarray) -> jnp.ndarray:
+        # models with auxiliary heads (e.g. MulT's domain discriminator)
+        # return {"logits", "aux_loss"} — unwrap transparently
+        if isinstance(logits, dict):
+            logits = logits["logits"]
         if self.multilabel:
             return (jax.nn.sigmoid(logits) > self.binary_threshold).astype(jnp.int32)
         return jnp.argmax(logits, axis=-1)
@@ -83,9 +87,13 @@ class ClassificationTask:
         # sample_mask flows into every criterion so padded tail rows are
         # excluded with the configured weights/kwargs intact (criteria do
         # sum(w·m·l)/sum(w·m) internally — see losses._masked_reduce).
+        aux = 0.0
+        if isinstance(logits, dict):
+            aux = logits.get("aux_loss", 0.0)
+            logits = logits["logits"]
         return self.loss_group(
             logits, batch[self.label_key], sample_mask=sample_mask
-        )["total_loss"]
+        )["total_loss"] + aux
 
 
 def train_step_core(task: ClassificationTask, state: TrainState,
