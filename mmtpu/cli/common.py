@@ -66,6 +66,11 @@ def standard_arg_parser(description: str) -> argparse.ArgumentParser:
              "rows. Pass 1 to disable fusion.",
     )
     p.add_argument(
+        "--epochs", type=int, default=None, metavar="N",
+        help="Override training.epochs from the command line (smoke runs, "
+             "quick iteration) without editing the YAML",
+    )
+    p.add_argument(
         "--resume", action="store_true",
         help="Continue a previously interrupted run from its rolling "
              "last.ckpt/resume.json (written every epoch). The resumed run "
@@ -240,6 +245,8 @@ def finalize_config(cfg, args):
         cfg.experiment.seed = int(cfg.experiment.seed) + offset
     if getattr(args, "dry_run", False):
         cfg.experiment.dry_run = True
+    if getattr(args, "epochs", None) is not None:
+        cfg.training.epochs = int(args.epochs)
     if getattr(args, "disable_monitoring", False) and hasattr(cfg, "monitoring"):
         cfg.monitoring.enabled = False
     cfg.logging.create_directories()

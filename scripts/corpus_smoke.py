@@ -1,0 +1,203 @@
+"""Corpus smoke: EVERY reference YAML drives its mmtpu CLI end-to-end.
+
+The config-corpus tests (tests/test_config.py) prove all 110 reference
+YAMLs parse, load, and build module specs; a handful of CLI tests dry-run
+representative configs. This script closes the remaining gap: each config
+actually TRAINS (1 epoch by default, synthetic data at the reference
+paths' $EXP_PATH/DATA locations) through the same CLI a reference user
+would invoke, including the test phase, metrics JSONs, checkpoints, and
+reports.
+
+Routing (reference user's choice of driver):
+  - path contains /cmams/ or the YAML head declares a CMAM config → train_cmam
+  - path contains /mono/                                          → train_monomodal
+  - avmnist/centralised                                           → train_avmnist
+  - everything else → train_multimodal (which routes MMIN/RedCore/Self-MM
+    to their custom-step runners, reference train_multimodal.py semantics)
+
+Execution order is the reference pipeline order — mono pretrains first,
+then baselines, then pretrained variants and MMIN (which consume stage-0/1
+artifacts), then C-MAMs (which consume a trained base checkpoint) — so
+later stages load REAL artifacts written by earlier stages wherever the
+reference's own path templates line up. Any artifact a config references
+that no earlier stage produced is reported per-config (thesis-repo path
+mismatches surface instead of cascading).
+
+Usage:
+  python scripts/corpus_smoke.py                 # full corpus, 1 epoch each
+  python scripts/corpus_smoke.py --mode dry      # build-everything dry runs
+  python scripts/corpus_smoke.py --filter mosi   # substring filter
+  python scripts/corpus_smoke.py --report corpus_smoke.json
+
+Results: per-config status/duration/log-path JSON + console summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+REF_CONFIGS = Path("/root/reference/MML_Suite/configs")
+
+# Broken in the reference itself: these 6 configs' module specs cannot be
+# built by the reference's own constructors either (SPEC_BUILD_XFAIL in
+# tests/test_config.py, with per-config reasons documented there) — there
+# is nothing runnable to smoke.
+BROKEN_IN_REFERENCE = {
+    "avmnist/centralised/cmams/avmnist_A_I.yaml",
+    "avmnist/centralised/cmams/avmnist_I_A.yaml",
+    "mosei/centralised/cmams/text_cmams/text_to_audio_cosine.yaml",
+    "mosei/centralised/cmams/text_cmams/text_to_audio_cosine_mse.yaml",
+    "mosei/centralised/cmams/text_cmams/text_to_video_cosine.yaml",
+    "mosei/centralised/cmams/text_cmams/text_to_video_cosine_mse.yaml",
+}
+
+
+def route(rel: str, head: str) -> str:
+    if "/cmams/" in rel or "CMAM" in head:
+        return "mmtpu.cli.train_cmam"
+    if "/mono/" in rel:
+        return "mmtpu.cli.train_monomodal"
+    if rel.startswith("avmnist/centralised"):
+        return "mmtpu.cli.train_avmnist"
+    return "mmtpu.cli.train_multimodal"
+
+
+def stage_rank(rel: str, module: str) -> int:
+    """Reference pipeline order: mono pretrains → baselines → consumers."""
+    if module.endswith("train_monomodal"):
+        return 0
+    if module.endswith("train_cmam"):
+        return 3
+    if "pretrained" in rel or "/mmin_" in rel or "mmin_" in Path(rel).name:
+        return 2
+    return 1
+
+
+def _stage_workspace_data(ws: Path, avmnist_rows: int) -> None:
+    """Workspace DATA dir: symlinks to the repo's synthetic datasets, except
+    AVMNIST whose index CSVs are truncated — the conv family at the full
+    24k-sample scale costs ~15 min/config on a 1-core CPU host, and the
+    smoke is after crashes, not convergence. The decoded .npy caches are
+    keyed by CSV content hash, so subset caches build on first touch and
+    live in the workspace."""
+    data = ws / "DATA"
+    data.mkdir(exist_ok=True)
+    for name in ("mosi", "MOSI", "mosei", "mmimdb", "iemocap",
+                 "kinetics-sounds"):
+        link = data / name
+        if not link.exists():
+            link.symlink_to(REPO / "DATA" / name)
+    av = data / "avmnist"
+    av.mkdir(exist_ok=True)
+    for split, n in (("train_subset", avmnist_rows),
+                     ("validation_subset", max(avmnist_rows // 4, 64)),
+                     ("test_subset", max(avmnist_rows // 4, 64))):
+        src = REPO / "DATA" / "avmnist" / f"{split}.csv"
+        dst = av / f"{split}.csv"
+        if not dst.exists():
+            lines = src.read_text().splitlines()
+            dst.write_text("\n".join(lines[: n + 1]) + "\n")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=("train", "dry"), default="train")
+    ap.add_argument("--epochs", type=int, default=1)
+    ap.add_argument("--filter", default="", help="substring over config paths")
+    ap.add_argument("--workspace",
+                    default=str(REPO / "experiments_output" / "corpus_smoke"))
+    ap.add_argument("--report", default=str(REPO / "experiments_output"
+                                            / "corpus_smoke" / "report.json"))
+    ap.add_argument("--timeout", type=int, default=1800)
+    ap.add_argument("--avmnist-rows", type=int, default=2048,
+                    help="AVMNIST train-index rows in the smoke workspace")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip configs already ok in an existing report")
+    args = ap.parse_args()
+
+    ws = Path(args.workspace)
+    (ws / "logs").mkdir(parents=True, exist_ok=True)
+    _stage_workspace_data(ws, args.avmnist_rows)
+
+    prior: dict[str, dict] = {}
+    if args.resume and Path(args.report).exists():
+        prior = {r["config"]: r for r in json.loads(Path(args.report).read_text())
+                 if r["status"] == "ok"}
+
+    configs = sorted(REF_CONFIGS.rglob("*.yaml"))
+    rows = []
+    for p in configs:
+        rel = str(p.relative_to(REF_CONFIGS))
+        if rel in BROKEN_IN_REFERENCE or args.filter not in rel:
+            continue
+        head = p.read_text().split("\n", 1)[0]
+        module = route(rel, head)
+        rows.append((stage_rank(rel, module), rel, module, p))
+    rows.sort()
+
+    env = dict(os.environ)
+    env.update(
+        EXP_PATH=str(ws),
+        JAX_PLATFORMS="cpu",
+        PYTHONPATH=str(REPO),
+        JAX_COMPILATION_CACHE_DIR=str(REPO / ".cache" / "jax"),
+        JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0",
+        JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="-1",
+    )
+
+    results = []
+    n_ok = n_fail = 0
+    for stage, rel, module, path in rows:
+        if rel in prior:
+            results.append(prior[rel])
+            n_ok += 1
+            continue
+        log_path = ws / "logs" / (rel.replace("/", "__") + ".log")
+        cmd = [sys.executable, "-m", module, "--config", str(path),
+               "--run_id", "1", "--cpu"]
+        cmd += ["--dry-run"] if args.mode == "dry" else ["--epochs", str(args.epochs)]
+        t0 = time.perf_counter()
+        try:
+            with open(log_path, "w") as log:
+                rc = subprocess.run(cmd, stdout=log, stderr=subprocess.STDOUT,
+                                    env=env, cwd=REPO,
+                                    timeout=args.timeout).returncode
+        except subprocess.TimeoutExpired:
+            rc = -9
+        dt = time.perf_counter() - t0
+        status = "ok" if rc == 0 else "FAIL"
+        n_ok += status == "ok"
+        n_fail += status != "ok"
+        tail = ""
+        if rc != 0:
+            # drop the XLA:CPU AOT-loader pseudo-feature warning spam
+            # (same-host cache reloads; documented benign in
+            # mmtpu/utils/compile_cache.py) so the tail shows the real error
+            lines = [ln for ln in log_path.read_text().splitlines()
+                     if "cpu_aot_loader" not in ln]
+            tail = "\n".join(lines[-15:])
+        results.append({"config": rel, "module": module.rsplit(".", 1)[-1],
+                        "stage": stage, "status": status, "rc": rc,
+                        "seconds": round(dt, 1), "log": str(log_path),
+                        "error_tail": tail})
+        print(f"[{n_ok + n_fail}/{len(rows)}] {status:4s} {dt:7.1f}s  {rel}",
+              flush=True)
+
+    Path(args.report).parent.mkdir(parents=True, exist_ok=True)
+    Path(args.report).write_text(json.dumps(results, indent=1))
+    print(f"\n{n_ok} ok, {n_fail} failed -> {args.report}")
+    for r in results:
+        if r["status"] != "ok":
+            print(f"  FAIL {r['config']} (rc={r['rc']}) log={r['log']}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -62,6 +62,20 @@ def main(out_root: str = "DATA") -> None:
     with open(out / "aligned_50.pkl", "wb") as f:
         pickle.dump(data, f)
     print("wrote", out / "aligned_50.pkl")
+    # unaligned variant (self-mm missing_text_03 config points at it):
+    # same features, but audio/vision lengths drawn independently so the
+    # unaligned loader path (data/mosi.py lengths routing) sees genuinely
+    # distinct per-modality lengths. Features beyond a modality's length are
+    # padding either way — the packed-LSTM semantics mask them out.
+    rng2 = np.random.default_rng(51)
+    for split, n in SPLITS.items():
+        sd = dict(data[split])
+        sd["audio_lengths"] = rng2.integers(20, T + 1, size=n).astype(np.int64)
+        sd["vision_lengths"] = rng2.integers(20, T + 1, size=n).astype(np.int64)
+        data[split] = sd
+    with open(out / "unaligned_50.pkl", "wb") as f:
+        pickle.dump(data, f)
+    print("wrote", out / "unaligned_50.pkl")
 
 
 if __name__ == "__main__":

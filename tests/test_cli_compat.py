@@ -280,3 +280,21 @@ def test_numpy_warning_tripwire_promotes_to_errors():
             np.std(np.array([]))
         with pytest.raises(RuntimeWarning, match="invalid value"):
             np.array([np.inf]) * np.array([0.0])
+
+
+def test_epochs_override_flag():
+    """--epochs N overrides training.epochs at finalize time (the corpus
+    smoke and quick-iteration knob; every driver reads cfg.training.epochs
+    after finalize_config)."""
+    import argparse
+
+    from mmtpu.cli import common
+    from mmtpu.config import StandardMultimodalConfig
+
+    cfg = StandardMultimodalConfig.load(
+        str(REPO / "configs/avmnist/multimodal_resnet_scratch.yaml"), run_id=1
+    )
+    assert cfg.training.epochs != 1
+    args = argparse.Namespace(epochs=1, run_id=1)
+    common.finalize_config(cfg, args)
+    assert cfg.training.epochs == 1
