@@ -118,6 +118,11 @@ def main() -> int:
     ap.add_argument("--timeout", type=int, default=1800)
     ap.add_argument("--avmnist-rows", type=int, default=2048,
                     help="AVMNIST train-index rows in the smoke workspace")
+    ap.add_argument("--device", choices=("cpu", "tpu"), default="cpu",
+                    help="cpu: hermetic but XLA:CPU compiles a ResNet-sized "
+                         "program in ~10 min on a 1-core host; tpu: the real "
+                         "chip — remote compile service (~20-40s per novel "
+                         "program) and fast steps, but shares the tunnel")
     ap.add_argument("--resume", action="store_true",
                     help="skip configs already ok in an existing report")
     args = ap.parse_args()
@@ -145,8 +150,13 @@ def main() -> int:
     env = dict(os.environ)
     env.update(
         EXP_PATH=str(ws),
-        JAX_PLATFORMS="cpu",
-        PYTHONPATH=str(REPO),
+        # APPEND to PYTHONPATH: the axon TPU plugin registers via a
+        # sitecustomize on the inherited path — replacing the variable
+        # silently de-registers the backend while JAX_PLATFORMS still
+        # requests it
+        PYTHONPATH=os.pathsep.join(
+            [str(REPO)] + [p for p in (os.environ.get("PYTHONPATH"),) if p]
+        ),
         JAX_COMPILATION_CACHE_DIR=str(REPO / ".cache" / "jax"),
         JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0",
         JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="-1",
@@ -161,7 +171,10 @@ def main() -> int:
             continue
         log_path = ws / "logs" / (rel.replace("/", "__") + ".log")
         cmd = [sys.executable, "-m", module, "--config", str(path),
-               "--run_id", "1", "--cpu"]
+               "--run_id", "1"]
+        if args.device == "cpu":
+            cmd.append("--cpu")
+            env["JAX_PLATFORMS"] = "cpu"
         cmd += ["--dry-run"] if args.mode == "dry" else ["--epochs", str(args.epochs)]
         t0 = time.perf_counter()
         try:

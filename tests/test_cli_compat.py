@@ -298,3 +298,34 @@ def test_epochs_override_flag():
     args = argparse.Namespace(epochs=1, run_id=1)
     common.finalize_config(cfg, args)
     assert cfg.training.epochs == 1
+
+
+def test_corpus_smoke_routing():
+    """The corpus smoke runner picks the same driver a reference user would:
+    CMAM configs -> train_cmam, mono -> train_monomodal, avmnist ->
+    train_avmnist, everything else -> train_multimodal; pipeline staging
+    orders producers before consumers."""
+    sys.path.insert(0, str(REPO / "scripts"))
+    try:
+        import corpus_smoke as cs
+    finally:
+        sys.path.remove(str(REPO / "scripts"))
+
+    assert cs.route("mmimdb/centralised/cmams/image_to_text.yaml", "x") \
+        == "mmtpu.cli.train_cmam"
+    assert cs.route("self-mm/train_self_mm_mosi.yaml", "!CMAMConfig") \
+        == "mmtpu.cli.train_cmam"
+    assert cs.route("avmnist/mono/train_audio_encoder.yaml", "x") \
+        == "mmtpu.cli.train_monomodal"
+    assert cs.route("avmnist/centralised/train_avmnist.yaml", "x") \
+        == "mmtpu.cli.train_avmnist"
+    assert cs.route("mosei/centralised/utt_fusion_train_mosei.yaml", "x") \
+        == "mmtpu.cli.train_multimodal"
+
+    mono = cs.stage_rank("avmnist/mono/a.yaml", "mmtpu.cli.train_monomodal")
+    base = cs.stage_rank("mosei/x/utt_fusion_baseline_train.yaml",
+                         "mmtpu.cli.train_multimodal")
+    cons = cs.stage_rank("ch3_experiments/mosei/with_missing/mmin_train_25.yaml",
+                         "mmtpu.cli.train_multimodal")
+    cmam = cs.stage_rank("mosei/centralised/cmams/x.yaml", "mmtpu.cli.train_cmam")
+    assert mono < base < cons < cmam
