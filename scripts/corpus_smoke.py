@@ -179,8 +179,14 @@ def main() -> int:
         t0 = time.perf_counter()
         try:
             with open(log_path, "w") as log:
+                # cwd=workspace: several reference configs reference their
+                # pretrained artifacts by CWD-RELATIVE paths
+                # (experiments_output/<exp>/models/1/...), so producers and
+                # consumers must share a working directory for the pipeline
+                # handoff to line up — and it must be the workspace, not the
+                # repo, to keep the smoke hermetic
                 rc = subprocess.run(cmd, stdout=log, stderr=subprocess.STDOUT,
-                                    env=env, cwd=REPO,
+                                    env=env, cwd=ws,
                                     timeout=args.timeout).returncode
         except subprocess.TimeoutExpired:
             rc = -9
@@ -202,6 +208,9 @@ def main() -> int:
                         "error_tail": tail})
         print(f"[{n_ok + n_fail}/{len(rows)}] {status:4s} {dt:7.1f}s  {rel}",
               flush=True)
+        # incremental: an interrupted sweep resumes from completed configs
+        Path(args.report).parent.mkdir(parents=True, exist_ok=True)
+        Path(args.report).write_text(json.dumps(results, indent=1))
 
     Path(args.report).parent.mkdir(parents=True, exist_ok=True)
     Path(args.report).write_text(json.dumps(results, indent=1))
