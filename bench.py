@@ -205,11 +205,24 @@ def quiet_rate_fit(rates, canaries, flops, B):
     k_slope = sum(r * c for r, c in zip(rates, canaries)) / sum(
         c * c for c in canaries
     )
-    normalized = k_slope * QUIET_CANARY_TFLOPS
+    uncapped = k_slope * QUIET_CANARY_TFLOPS
+    normalized = uncapped
     if flops:
         rate_at_peak = V5E_PEAK_FLOPS * B / flops
         normalized = min(normalized, rate_at_peak)
-    return normalized
+    # uncentered R^2 of the through-origin fit — how well the windows
+    # actually follow rate ∝ canary (1.0 = perfectly proportional). Emitted
+    # alongside the headline so a capped/extrapolated number carries its
+    # own quality evidence.
+    ss_res = sum((r - k_slope * c) ** 2 for r, c in zip(rates, canaries))
+    ss_tot = sum(r * r for r in rates)
+    r2 = 1.0 - ss_res / ss_tot if ss_tot else 0.0
+    return {
+        "normalized": normalized,
+        "uncapped": uncapped,
+        "capped": normalized < uncapped,
+        "r2": r2,
+    }
 
 
 def measure(builder, B, precision, windows=8, steps=60, warmup=10,
@@ -267,7 +280,8 @@ def measure(builder, B, precision, windows=8, steps=60, warmup=10,
 
     n_chips = jax.device_count()
     rates = [steps * B / dt / n_chips for dt in dts]
-    normalized = quiet_rate_fit(rates, canaries, flops, B)
+    fit = quiet_rate_fit(rates, canaries, flops, B)
+    normalized = fit["normalized"]
     best = max(rates)
     # per-chip MFU: rates are samples/sec/chip and flops is the program's
     # per-batch total, so per-chip FLOP/s = rate * flops / B (no n_chips
@@ -281,6 +295,9 @@ def measure(builder, B, precision, windows=8, steps=60, warmup=10,
         "best": best,
         "median": statistics.median(rates),
         "normalized": normalized,
+        "normalized_uncapped": fit["uncapped"],
+        "normalized_capped": fit["capped"],
+        "fit_r2": fit["r2"],
         "mfu": mfu,
         "mfu_normalized": mfu_norm,
         "canary_median": statistics.median(canaries),
@@ -337,6 +354,14 @@ def main() -> None:
                 "vs_baseline": round(m["best"] / TORCH_CPU_SAMPLES_PER_SEC, 2),
                 "value_median": round(m["median"], 1),
                 "value_canary_normalized": round(m["normalized"], 1),
+                # transparency for the normalization: the raw through-origin
+                # extrapolation before the MFU-1.0 cap, whether the cap
+                # engaged, and the fit's uncentered R^2 over the windows
+                "value_canary_normalized_uncapped": round(
+                    m["normalized_uncapped"], 1
+                ),
+                "canary_cap_engaged": m["normalized_capped"],
+                "canary_fit_r2": round(m["fit_r2"], 4),
                 "mfu": round(m["mfu"], 4) if m["mfu"] else None,
                 "mfu_canary_normalized": (
                     round(m["mfu_normalized"], 4) if m["mfu_normalized"] else None

@@ -14,7 +14,9 @@ def test_quiet_chip_is_identity():
     rates = [100_000.0] * 4
     canaries = [bench.QUIET_CANARY_TFLOPS] * 4
     out = bench.quiet_rate_fit(rates, canaries, flops=None, B=1024)
-    assert out == pytest.approx(100_000.0, rel=1e-12)
+    assert out["normalized"] == pytest.approx(100_000.0, rel=1e-12)
+    assert out["r2"] == pytest.approx(1.0)
+    assert not out["capped"]
 
 
 def test_contended_windows_extrapolate_proportionally():
@@ -25,7 +27,8 @@ def test_contended_windows_extrapolate_proportionally():
     canaries = [bench.QUIET_CANARY_TFLOPS * f for f in fracs]
     rates = [quiet * f for f in fracs]
     out = bench.quiet_rate_fit(rates, canaries, flops=None, B=1024)
-    assert out == pytest.approx(quiet, rel=1e-9)
+    assert out["normalized"] == pytest.approx(quiet, rel=1e-9)
+    assert out["r2"] == pytest.approx(1.0)
 
 
 def test_noisy_windows_weight_least_contended():
@@ -38,7 +41,10 @@ def test_noisy_windows_weight_least_contended():
     out = bench.quiet_rate_fit(rates, canaries, flops=None, B=1024)
     # unweighted per-window ratios would average in the 925k implied by
     # window 0; the slope fit stays close to 200k
-    assert out == pytest.approx(200_000.0, rel=0.05)
+    assert out["normalized"] == pytest.approx(200_000.0, rel=0.05)
+    # the outlier window degrades the proportionality evidence and the
+    # emitted R^2 must say so
+    assert out["r2"] < 0.999
 
 
 def test_mfu_cap_applies():
@@ -49,4 +55,6 @@ def test_mfu_cap_applies():
     rates = [cap * 0.5]
     canaries = [bench.QUIET_CANARY_TFLOPS * 0.1]  # implies 5x cap
     out = bench.quiet_rate_fit(rates, canaries, flops=flops, B=B)
-    assert out == pytest.approx(cap)
+    assert out["normalized"] == pytest.approx(cap)
+    assert out["capped"]
+    assert out["uncapped"] == pytest.approx(cap * 5, rel=1e-6)
