@@ -92,8 +92,11 @@ def _stage_workspace_data(ws: Path, avmnist_rows: int) -> None:
     for name in ("mosi", "MOSI", "mosei", "mmimdb", "iemocap",
                  "kinetics-sounds"):
         link = data / name
-        if not link.exists():
-            link.symlink_to(REPO / "DATA" / name)
+        # is_symlink, not exists: a dangling link (dataset generated after
+        # the first smoke run) must be replaced, not re-created
+        if link.is_symlink() or link.exists():
+            continue
+        link.symlink_to(REPO / "DATA" / name)
     av = data / "avmnist"
     av.mkdir(exist_ok=True)
     for split, n in (("train_subset", avmnist_rows),
@@ -101,9 +104,12 @@ def _stage_workspace_data(ws: Path, avmnist_rows: int) -> None:
                      ("test_subset", max(avmnist_rows // 4, 64))):
         src = REPO / "DATA" / "avmnist" / f"{split}.csv"
         dst = av / f"{split}.csv"
-        if not dst.exists():
-            lines = src.read_text().splitlines()
-            dst.write_text("\n".join(lines[: n + 1]) + "\n")
+        content = "\n".join(src.read_text().splitlines()[: n + 1]) + "\n"
+        # write-if-different: a rerun with a new --avmnist-rows must take
+        # effect; an identical rerun must not touch the mtime (the decoded
+        # .npy caches key on CSV content, not time, but keep it clean)
+        if not dst.exists() or dst.read_text() != content:
+            dst.write_text(content)
 
 
 def main() -> int:
@@ -131,10 +137,24 @@ def main() -> int:
     (ws / "logs").mkdir(parents=True, exist_ok=True)
     _stage_workspace_data(ws, args.avmnist_rows)
 
+    # earlier rows at the same report path are preserved: --resume skips
+    # their configs, and every write MERGES into them (a --filter rerun
+    # must never wipe the rest of a completed corpus report)
+    existing: dict[str, dict] = {}
+    if Path(args.report).exists():
+        existing = {r["config"]: r
+                    for r in json.loads(Path(args.report).read_text())}
     prior: dict[str, dict] = {}
-    if args.resume and Path(args.report).exists():
-        prior = {r["config"]: r for r in json.loads(Path(args.report).read_text())
-                 if r["status"] == "ok"}
+    if args.resume:
+        prior = {k: r for k, r in existing.items() if r["status"] == "ok"}
+
+    def write_report(results):
+        merged = dict(existing)
+        merged.update({r["config"]: r for r in results})
+        Path(args.report).parent.mkdir(parents=True, exist_ok=True)
+        Path(args.report).write_text(
+            json.dumps(sorted(merged.values(), key=lambda r: r["config"]),
+                       indent=1))
 
     configs = sorted(REF_CONFIGS.rglob("*.yaml"))
     rows = []
@@ -209,11 +229,9 @@ def main() -> int:
         print(f"[{n_ok + n_fail}/{len(rows)}] {status:4s} {dt:7.1f}s  {rel}",
               flush=True)
         # incremental: an interrupted sweep resumes from completed configs
-        Path(args.report).parent.mkdir(parents=True, exist_ok=True)
-        Path(args.report).write_text(json.dumps(results, indent=1))
+        write_report(results)
 
-    Path(args.report).parent.mkdir(parents=True, exist_ok=True)
-    Path(args.report).write_text(json.dumps(results, indent=1))
+    write_report(results)
     print(f"\n{n_ok} ok, {n_fail} failed -> {args.report}")
     for r in results:
         if r["status"] != "ok":

@@ -62,19 +62,34 @@ def main(out_root: str = "DATA") -> None:
     with open(out / "aligned_50.pkl", "wb") as f:
         pickle.dump(data, f)
     print("wrote", out / "aligned_50.pkl")
-    # unaligned variant (self-mm missing_text_03 config points at it):
-    # same features, but audio/vision lengths drawn independently so the
-    # unaligned loader path (data/mosi.py lengths routing) sees genuinely
-    # distinct per-modality lengths. Features beyond a modality's length are
-    # padding either way — the packed-LSTM semantics mask them out.
+    # unaligned variant (self-mm missing_text_03 config points at it): a
+    # second full generation pass where audio/vision draw INDEPENDENT
+    # per-sample lengths and each modality's features are generated with
+    # its own lengths — so every step the unaligned loader treats as valid
+    # (data/mosi.py lengths routing) carries real signal, and steps past a
+    # modality's length are zero padding exactly as the lengths declare.
     rng2 = np.random.default_rng(51)
+    projs2 = make_projs(rng2, {"audio": D_A, "vision": D_V, "text": D_T})
+    udata = {}
     for split, n in SPLITS.items():
-        sd = dict(data[split])
-        sd["audio_lengths"] = rng2.integers(20, T + 1, size=n).astype(np.int64)
-        sd["vision_lengths"] = rng2.integers(20, T + 1, size=n).astype(np.int64)
-        data[split] = sd
+        s = data[split]["regression_labels"]
+        a_len = rng2.integers(20, T + 1, size=n)
+        v_len = rng2.integers(20, T + 1, size=n)
+        t_len = rng2.integers(20, T + 1, size=n)
+        udata[split] = {
+            "audio": modality_features(rng2, s, a_len, projs2["audio"], 0.35,
+                                       T, latent_sigma=2.6),
+            "vision": modality_features(rng2, s, v_len, projs2["vision"],
+                                        0.25, T, latent_sigma=3.0),
+            "text": modality_features(rng2, s, t_len, projs2["text"], 0.12,
+                                      T, latent_sigma=2.0),
+            "classification_labels": data[split]["classification_labels"],
+            "regression_labels": s,
+            "audio_lengths": a_len.astype(np.int64),
+            "vision_lengths": v_len.astype(np.int64),
+        }
     with open(out / "unaligned_50.pkl", "wb") as f:
-        pickle.dump(data, f)
+        pickle.dump(udata, f)
     print("wrote", out / "unaligned_50.pkl")
 
 
