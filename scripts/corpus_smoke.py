@@ -80,23 +80,68 @@ def stage_rank(rel: str, module: str) -> int:
     return 1
 
 
+def _truncate_sentiment_pickles(data: Path, name: str,
+                                n: dict[str, int]) -> None:
+    """Materialize truncated MOSI/MOSEI pickles in the workspace.
+
+    The smoke is after crashes, not convergence, and these datasets
+    dominate its wall clock: the synthetic MOSEI pickle is ~1 GB and is
+    re-read by EVERY one of the ~40 mosei-family subprocesses, and the
+    train/eval×patterns products scale with the split sizes. Slicing each
+    split to a few hundred rows keeps every code path (padding, lengths,
+    7-pattern eval product, C-MAM teacher handoff) while cutting per-config
+    time several-fold. A sidecar marker keyed on (source mtime, sizes)
+    makes restaging idempotent and re-done when the generator reruns."""
+    import pickle
+
+    src_dir = REPO / "DATA" / name
+    dst_dir = data / name
+    if dst_dir.is_symlink():  # older smoke workspaces symlinked full data
+        dst_dir.unlink()
+    dst_dir.mkdir(exist_ok=True)
+    for src in sorted(src_dir.glob("*.pkl")):
+        dst = dst_dir / src.name
+        marker = dst_dir / (src.name + ".trunc.json")
+        key = {"mtime": src.stat().st_mtime, "n": n}
+        if dst.exists() and marker.exists() and \
+                json.loads(marker.read_text()) == key:
+            continue
+        with open(src, "rb") as f:
+            full = pickle.load(f)
+        small = {split: {k: v[: n.get(split, 256)] for k, v in d.items()}
+                 for split, d in full.items()}
+        with open(dst, "wb") as f:
+            pickle.dump(small, f)
+        marker.write_text(json.dumps(key))
+
+
 def _stage_workspace_data(ws: Path, avmnist_rows: int) -> None:
     """Workspace DATA dir: symlinks to the repo's synthetic datasets, except
     AVMNIST whose index CSVs are truncated — the conv family at the full
     24k-sample scale costs ~15 min/config on a 1-core CPU host, and the
-    smoke is after crashes, not convergence. The decoded .npy caches are
-    keyed by CSV content hash, so subset caches build on first touch and
-    live in the workspace."""
+    smoke is after crashes, not convergence — and MOSI/MOSEI whose pickles
+    are sliced down for the same reason (see _truncate_sentiment_pickles).
+    The decoded .npy caches are keyed by CSV content hash, so subset caches
+    build on first touch and live in the workspace."""
     data = ws / "DATA"
     data.mkdir(exist_ok=True)
-    for name in ("mosi", "MOSI", "mosei", "mmimdb", "iemocap",
-                 "kinetics-sounds"):
+    for name in ("mmimdb", "iemocap", "kinetics-sounds"):
         link = data / name
         # is_symlink, not exists: a dangling link (dataset generated after
         # the first smoke run) must be replaced, not re-created
         if link.is_symlink() or link.exists():
             continue
         link.symlink_to(REPO / "DATA" / name)
+    _truncate_sentiment_pickles(data, "mosi",
+                                {"train": 512, "valid": 128, "test": 128})
+    _truncate_sentiment_pickles(data, "mosei",
+                                {"train": 512, "valid": 128, "test": 128})
+    # case link mirroring repo DATA/MOSI -> mosi (some configs use MOSI/)
+    mosi_upper = data / "MOSI"
+    if mosi_upper.is_symlink():
+        mosi_upper.unlink()
+    if not mosi_upper.exists():
+        mosi_upper.symlink_to(data / "mosi")
     av = data / "avmnist"
     av.mkdir(exist_ok=True)
     for split, n in (("train_subset", avmnist_rows),
