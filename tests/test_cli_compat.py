@@ -329,3 +329,51 @@ def test_corpus_smoke_routing():
                          "mmtpu.cli.train_multimodal")
     cmam = cs.stage_rank("mosei/centralised/cmams/x.yaml", "mmtpu.cli.train_cmam")
     assert mono < base < cons < cmam
+
+
+def test_corpus_smoke_pickle_truncation(tmp_path, monkeypatch):
+    """Workspace staging slices MOSI/MOSEI pickles to smoke-sized splits,
+    replaces a legacy full-data symlink, and is idempotent via the sidecar
+    marker (re-truncates only when the source or sizes change)."""
+    sys.path.insert(0, str(REPO / "scripts"))
+    try:
+        import corpus_smoke as cs
+    finally:
+        sys.path.remove(str(REPO / "scripts"))
+
+    src_root = tmp_path / "repo"
+    (src_root / "DATA" / "mosi").mkdir(parents=True)
+    full = {
+        split: {
+            "audio": np.zeros((n, 4, 2), np.float32),
+            "classification_labels": np.arange(n),
+        }
+        for split, n in (("train", 40), ("valid", 30), ("test", 20))
+    }
+    src = src_root / "DATA" / "mosi" / "aligned_50.pkl"
+    with open(src, "wb") as f:
+        pickle.dump(full, f)
+    monkeypatch.setattr(cs, "REPO", src_root)
+
+    data = tmp_path / "ws" / "DATA"
+    data.mkdir(parents=True)
+    (data / "mosi").symlink_to(src_root / "DATA" / "mosi")  # legacy layout
+
+    sizes = {"train": 8, "valid": 4, "test": 4}
+    cs._truncate_sentiment_pickles(data, "mosi", sizes)
+    dst = data / "mosi" / "aligned_50.pkl"
+    assert not (data / "mosi").is_symlink()
+    with open(dst, "rb") as f:
+        small = pickle.load(f)
+    assert small["train"]["audio"].shape == (8, 4, 2)
+    assert small["valid"]["classification_labels"].shape == (4,)
+
+    # idempotent: marker short-circuits the rewrite
+    mtime = dst.stat().st_mtime_ns
+    cs._truncate_sentiment_pickles(data, "mosi", sizes)
+    assert dst.stat().st_mtime_ns == mtime
+
+    # a regenerated source (new mtime) forces re-truncation
+    os.utime(src, None)
+    cs._truncate_sentiment_pickles(data, "mosi", sizes)
+    assert dst.stat().st_mtime_ns != mtime
