@@ -162,6 +162,9 @@ def main() -> int:
     ap.add_argument("--mode", choices=("train", "dry"), default="train")
     ap.add_argument("--epochs", type=int, default=1)
     ap.add_argument("--filter", default="", help="substring over config paths")
+    ap.add_argument("--exclude", default="",
+                    help="skip configs whose path contains this substring "
+                         "(e.g. a family routed to a separate slow lane)")
     ap.add_argument("--workspace",
                     default=str(REPO / "experiments_output" / "corpus_smoke"))
     ap.add_argument("--report", default=str(REPO / "experiments_output"
@@ -206,6 +209,8 @@ def main() -> int:
     for p in configs:
         rel = str(p.relative_to(REF_CONFIGS))
         if rel in BROKEN_IN_REFERENCE or args.filter not in rel:
+            continue
+        if args.exclude and args.exclude in rel:
             continue
         head = p.read_text().split("\n", 1)[0]
         module = route(rel, head)
