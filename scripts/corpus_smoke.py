@@ -115,6 +115,32 @@ def _truncate_sentiment_pickles(data: Path, name: str,
         marker.write_text(json.dumps(key))
 
 
+def _truncate_hdf5(data: Path, name: str, n: dict[str, int]) -> None:
+    """Same idea as _truncate_sentiment_pickles for flat-HDF5 datasets
+    (MM-IMDb: features/genres/imdb_ids/vgg_features row-aligned datasets).
+    The full synthetic MM-IMDb is ~15k rows x 4096-dim VGG features; the
+    ~25 mmimdb-family configs each decode it and eval it x patterns."""
+    import h5py
+
+    src_dir = REPO / "DATA" / name
+    dst_dir = data / name
+    if dst_dir.is_symlink():
+        dst_dir.unlink()
+    dst_dir.mkdir(exist_ok=True)
+    for src in sorted(src_dir.glob("*.hdf5")):
+        rows = n.get(src.name, 256)
+        dst = dst_dir / src.name
+        marker = dst_dir / (src.name + ".trunc.json")
+        key = {"mtime": src.stat().st_mtime, "rows": rows}
+        if dst.exists() and marker.exists() and \
+                json.loads(marker.read_text()) == key:
+            continue
+        with h5py.File(src, "r") as fin, h5py.File(dst, "w") as fout:
+            for k, v in fin.items():
+                fout.create_dataset(k, data=v[:rows])
+        marker.write_text(json.dumps(key))
+
+
 def _stage_workspace_data(ws: Path, avmnist_rows: int) -> None:
     """Workspace DATA dir: symlinks to the repo's synthetic datasets, except
     AVMNIST whose index CSVs are truncated — the conv family at the full
@@ -125,13 +151,16 @@ def _stage_workspace_data(ws: Path, avmnist_rows: int) -> None:
     build on first touch and live in the workspace."""
     data = ws / "DATA"
     data.mkdir(exist_ok=True)
-    for name in ("mmimdb", "iemocap", "kinetics-sounds"):
+    for name in ("iemocap", "kinetics-sounds"):
         link = data / name
         # is_symlink, not exists: a dangling link (dataset generated after
         # the first smoke run) must be replaced, not re-created
         if link.is_symlink() or link.exists():
             continue
         link.symlink_to(REPO / "DATA" / name)
+    _truncate_hdf5(data, "mmimdb", {"train.hdf5": 512,
+                                    "validation.hdf5": 128,
+                                    "test.hdf5": 128})
     _truncate_sentiment_pickles(data, "mosi",
                                 {"train": 512, "valid": 128, "test": 128})
     _truncate_sentiment_pickles(data, "mosei",
