@@ -186,6 +186,20 @@ def _stage_workspace_data(ws: Path, avmnist_rows: int) -> None:
             dst.write_text(content)
 
 
+#: Error signatures of shared-TPU/tunnel faults worth one retry. Timeouts
+#: (rc=-9, empty-tail "") and genuine program errors don't match.
+_TRANSIENT_MARKERS = (
+    "TPU backend error",
+    "FAILED_PRECONDITION",
+    "DEADLINE_EXCEEDED",
+    "UNAVAILABLE:",
+)
+
+
+def _is_transient(error_tail: str) -> bool:
+    return any(m in error_tail for m in _TRANSIENT_MARKERS)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=("train", "dry"), default="train")
@@ -276,35 +290,49 @@ def main() -> int:
             env["JAX_PLATFORMS"] = "cpu"
         cmd += ["--dry-run"] if args.mode == "dry" else ["--epochs", str(args.epochs)]
         t0 = time.perf_counter()
-        try:
-            with open(log_path, "w") as log:
-                # cwd=workspace: several reference configs reference their
-                # pretrained artifacts by CWD-RELATIVE paths
-                # (experiments_output/<exp>/models/1/...), so producers and
-                # consumers must share a working directory for the pipeline
-                # handoff to line up — and it must be the workspace, not the
-                # repo, to keep the smoke hermetic
-                rc = subprocess.run(cmd, stdout=log, stderr=subprocess.STDOUT,
-                                    env=env, cwd=ws,
-                                    timeout=args.timeout).returncode
-        except subprocess.TimeoutExpired:
-            rc = -9
+        retried = False
+        for attempt in (1, 2):
+            try:
+                # append on retry: keep the first attempt's evidence
+                with open(log_path, "w" if attempt == 1 else "a") as log:
+                    # cwd=workspace: several reference configs reference
+                    # their pretrained artifacts by CWD-RELATIVE paths
+                    # (experiments_output/<exp>/models/1/...), so producers
+                    # and consumers must share a working directory for the
+                    # pipeline handoff to line up — and it must be the
+                    # workspace, not the repo, to keep the smoke hermetic
+                    rc = subprocess.run(cmd, stdout=log,
+                                        stderr=subprocess.STDOUT,
+                                        env=env, cwd=ws,
+                                        timeout=args.timeout).returncode
+            except subprocess.TimeoutExpired:
+                rc = -9
+            tail = ""
+            if rc != 0:
+                # drop the XLA:CPU AOT-loader pseudo-feature warning spam
+                # (same-host cache reloads; documented benign in
+                # mmtpu/utils/compile_cache.py) so the tail shows the error
+                lines = [ln for ln in log_path.read_text().splitlines()
+                         if "cpu_aot_loader" not in ln]
+                tail = "\n".join(lines[-15:])
+            # one retry on transient backend/tunnel faults: the shared axon
+            # TPU intermittently returns FAILED_PRECONDITION/UNAVAILABLE on
+            # host fetches while co-tenants reset the chip — the identical
+            # code path passes on the very next run (observed: a
+            # pretrained-encoder restore failed once among ~50 configs)
+            if rc == 0 or attempt == 2 or not _is_transient(tail):
+                break
+            retried = True
+            print(f"        transient backend fault, retrying: {rel}",
+                  flush=True)
         dt = time.perf_counter() - t0
         status = "ok" if rc == 0 else "FAIL"
         n_ok += status == "ok"
         n_fail += status != "ok"
-        tail = ""
-        if rc != 0:
-            # drop the XLA:CPU AOT-loader pseudo-feature warning spam
-            # (same-host cache reloads; documented benign in
-            # mmtpu/utils/compile_cache.py) so the tail shows the real error
-            lines = [ln for ln in log_path.read_text().splitlines()
-                     if "cpu_aot_loader" not in ln]
-            tail = "\n".join(lines[-15:])
         results.append({"config": rel, "module": module.rsplit(".", 1)[-1],
                         "stage": stage, "status": status, "rc": rc,
                         "seconds": round(dt, 1), "log": str(log_path),
-                        "error_tail": tail})
+                        "retried": retried, "error_tail": tail})
         print(f"[{n_ok + n_fail}/{len(rows)}] {status:4s} {dt:7.1f}s  {rel}",
               flush=True)
         # incremental: an interrupted sweep resumes from completed configs

@@ -331,6 +331,24 @@ def test_corpus_smoke_routing():
     assert mono < base < cons < cmam
 
 
+def test_corpus_smoke_transient_detection():
+    """Only shared-TPU/tunnel fault signatures earn a retry: backend
+    FAILED_PRECONDITION/UNAVAILABLE on host fetches, not timeouts (empty
+    tail) or genuine program errors."""
+    sys.path.insert(0, str(REPO / "scripts"))
+    try:
+        import corpus_smoke as cs
+    finally:
+        sys.path.remove(str(REPO / "scripts"))
+
+    assert cs._is_transient(
+        "jax.errors.JaxRuntimeError: FAILED_PRECONDITION: "
+        "TPU backend error (FailedPrecondition).")
+    assert cs._is_transient("UNAVAILABLE: socket closed")
+    assert not cs._is_transient("")  # timeout (rc=-9) has no tail
+    assert not cs._is_transient("KeyError: 'audio'\nTraceback ...")
+
+
 def test_corpus_smoke_pickle_truncation(tmp_path, monkeypatch):
     """Workspace staging slices MOSI/MOSEI pickles to smoke-sized splits,
     replaces a legacy full-data symlink, and is idempotent via the sidecar
