@@ -141,6 +141,28 @@ def _truncate_hdf5(data: Path, name: str, n: dict[str, int]) -> None:
         marker.write_text(json.dumps(key))
 
 
+#: Synthetic source datasets are gitignored (GB-scale); a fresh host has
+#: only the committed CSV indexes. Probe file → generator script, checked
+#: before staging so the smoke is self-sufficient on a new VM.
+GENERATORS = {
+    "mosi": ("aligned_50.pkl", "make_synthetic_mosi.py"),
+    "mosei": ("aligned.pkl", "make_synthetic_mosei.py"),
+    "iemocap": ("A/comparE.h5", "make_synthetic_iemocap.py"),
+    "mmimdb": ("train.hdf5", "make_synthetic_mmimdb.py"),
+    "kinetics-sounds": ("tensors", "make_synthetic_kinetics_sounds.py"),
+}
+
+
+def _ensure_source_data() -> None:
+    """Generate any missing synthetic source dataset (fresh-host case)."""
+    for name, (probe, script) in GENERATORS.items():
+        if (REPO / "DATA" / name / probe).exists():
+            continue
+        print(f"source data missing for {name}; running {script}", flush=True)
+        subprocess.run([sys.executable, str(REPO / "scripts" / script)],
+                       check=True, cwd=REPO)
+
+
 def _stage_workspace_data(ws: Path, avmnist_rows: int) -> None:
     """Workspace DATA dir: symlinks to the repo's synthetic datasets, except
     AVMNIST whose index CSVs are truncated — the conv family at the full
@@ -226,7 +248,16 @@ def main() -> int:
 
     ws = Path(args.workspace)
     (ws / "logs").mkdir(parents=True, exist_ok=True)
-    _stage_workspace_data(ws, args.avmnist_rows)
+    # Exclusive lock: parallel lanes (one smoke process per config family,
+    # sharing the workspace) must not race the generators or the truncated
+    # staging writes — the first lane does the work, the rest wait then
+    # see the idempotency markers.
+    import fcntl
+
+    with open(ws / ".staging.lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        _ensure_source_data()
+        _stage_workspace_data(ws, args.avmnist_rows)
 
     # earlier rows at the same report path are preserved: --resume skips
     # their configs, and every write MERGES into them (a --filter rerun

@@ -395,3 +395,33 @@ def test_corpus_smoke_pickle_truncation(tmp_path, monkeypatch):
     os.utime(src, None)
     cs._truncate_sentiment_pickles(data, "mosi", sizes)
     assert dst.stat().st_mtime_ns != mtime
+
+
+def test_corpus_smoke_ensures_source_data(tmp_path, monkeypatch):
+    """On a fresh host the synthetic source datasets are absent (gitignored);
+    _ensure_source_data runs exactly the generators whose probe file is
+    missing, and every mapped generator script actually exists."""
+    sys.path.insert(0, str(REPO / "scripts"))
+    try:
+        import corpus_smoke as cs
+    finally:
+        sys.path.remove(str(REPO / "scripts"))
+
+    for _, script in cs.GENERATORS.values():
+        assert (REPO / "scripts" / script).exists(), script
+
+    fake_repo = tmp_path / "repo"
+    (fake_repo / "scripts").mkdir(parents=True)
+    # mosi present, the rest missing
+    (fake_repo / "DATA" / "mosi").mkdir(parents=True)
+    (fake_repo / "DATA" / "mosi" / "aligned_50.pkl").write_bytes(b"x")
+    monkeypatch.setattr(cs, "REPO", fake_repo)
+
+    ran = []
+    monkeypatch.setattr(cs.subprocess, "run",
+                        lambda cmd, **kw: ran.append(Path(cmd[-1]).name))
+    cs._ensure_source_data()
+    assert "make_synthetic_mosi.py" not in ran
+    expected = {script for name, (probe, script) in cs.GENERATORS.items()
+                if not (fake_repo / "DATA" / name / probe).exists()}
+    assert set(ran) == expected
