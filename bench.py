@@ -225,8 +225,97 @@ def quiet_rate_fit(rates, canaries, flops, B):
     }
 
 
+def affine_rate_fit(rates, canaries, flops, B, min_spread=25.0):
+    """Two-parameter calibrated fit: rate ≈ a + b*canary.
+
+    The through-origin model (quiet_rate_fit) systematically OVERSHOOTS on
+    quiet extrapolation: the pure-MXU canary degrades faster under
+    contention than the mixed train step, so rate/canary grows as canary
+    shrinks and the origin slope is an upper bound (round 3: uncapped
+    extrapolation exceeded the observed quiet rate by ~7% and clipped at
+    the MFU-1.0 cap). Fitting an intercept absorbs exactly that curvature
+    to first order. Needs canary SPREAD to be identified — bench.py
+    generates it deliberately by self-injecting competing matmul load at
+    several duty cycles (see _SelfLoad) instead of hoping co-tenant load
+    varies during the run. Falls back to the origin fit when the windows
+    don't span ≥ `min_spread` TFLOPS or the slope comes out non-positive.
+    """
+    origin = quiet_rate_fit(rates, canaries, flops, B)
+    n = len(rates)
+    spread = max(canaries) - min(canaries)
+    if n < 3 or spread < min_spread:
+        return {**origin, "model": "origin", "spread": spread}
+    mc = sum(canaries) / n
+    mr = sum(rates) / n
+    var = sum((c - mc) ** 2 for c in canaries)
+    cov = sum((c - mc) * (r - mr) for c, r in zip(canaries, rates))
+    b = cov / var
+    a = mr - b * mc
+    if b <= 0:
+        return {**origin, "model": "origin", "spread": spread}
+    uncapped = a + b * QUIET_CANARY_TFLOPS
+    # quiet is never slower than the best window actually observed
+    uncapped = max(uncapped, max(rates))
+    normalized = uncapped
+    if flops:
+        normalized = min(normalized, V5E_PEAK_FLOPS * B / flops)
+    ss_res = sum(
+        (r - (a + b * c)) ** 2 for r, c in zip(rates, canaries)
+    )
+    ss_tot = sum((r - mr) ** 2 for r in rates)
+    r2 = 1.0 - ss_res / ss_tot if ss_tot else 0.0
+    return {
+        "normalized": normalized,
+        "uncapped": uncapped,
+        "capped": normalized < uncapped,
+        "r2": r2,
+        "model": "affine",
+        "spread": spread,
+        "slope": b,
+        "intercept": a,
+    }
+
+
+class _SelfLoad:
+    """Background thread issuing competing bf16 matmuls at a duty cycle.
+
+    Deliberate, known self-contention: while a calibration window runs,
+    the loader time-slices the chip with the measured train step, pushing
+    the bracketing canary DOWN by a controlled amount — producing the
+    canary spread the affine fit needs even when co-tenant load happens
+    to be flat for the whole bench run."""
+
+    def __init__(self, duty: float, n: int = 8192):
+        import threading
+
+        self.duty = duty
+        self.n = n
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self):
+        import jax
+
+        canary_tflops(reps=1, n=self.n)  # ensure compiled + resident
+        a, f = _CANARY_STATE[self.n]
+        while not self._stop.is_set():
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(a))
+            dt = time.perf_counter() - t0
+            if self.duty < 1.0:
+                self._stop.wait(dt * (1.0 - self.duty) / self.duty)
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join(timeout=30)
+
+
 def measure(builder, B, precision, windows=8, steps=60, warmup=10,
-            spread_s=8.0):
+            spread_s=8.0, calibration_duties=()):
     """Timed windows spread over ~minutes, one canary per window.
 
     Returns dict with best/median raw rate, canary-normalized rate, MFU
@@ -261,26 +350,45 @@ def measure(builder, B, precision, windows=8, steps=60, warmup=10,
         state, out = step(state, batch, jax.random.fold_in(rng, k))
     barrier(state)
 
-    dts, canaries = [], []
-    c_prev = canary_tflops(reps=1)
-    for w in range(windows):
+    n_chips = jax.device_count()
+
+    def timed_window(w, n_steps, c_prev):
         t0 = time.perf_counter()
-        for k in range(steps):
-            state, out = step(state, batch, jax.random.fold_in(rng, w * steps + k))
-        barrier(state)
-        dts.append(time.perf_counter() - t0)
+        for k in range(n_steps):
+            nonlocal_state[0], _ = step(
+                nonlocal_state[0], batch, jax.random.fold_in(rng, w * steps + k)
+            )
+        barrier(nonlocal_state[0])
+        dt = time.perf_counter() - t0
         c_next = canary_tflops(reps=1)
         # bracket the window: contention during the window is estimated by
         # the mean of the canaries immediately before and after it
-        canaries.append(0.5 * (c_prev + c_next))
-        c_prev = c_next
+        return n_steps * B / dt / n_chips, 0.5 * (c_prev + c_next), c_next
+
+    nonlocal_state = [state]
+    rates, canaries = [], []
+    c_prev = canary_tflops(reps=1)
+    for w in range(windows):
+        r, c, c_prev = timed_window(w, steps, c_prev)
+        rates.append(r)
+        canaries.append(c)
         if spread_s and w < windows - 1:
             time.sleep(spread_s)
             c_prev = canary_tflops(reps=1)
 
-    n_chips = jax.device_count()
-    rates = [steps * B / dt / n_chips for dt in dts]
-    fit = quiet_rate_fit(rates, canaries, flops, B)
+    # calibration windows under deliberate self-load (excluded from the
+    # raw best/median; used only as extra (canary, rate) fit points)
+    cal_rates, cal_canaries = [], []
+    for j, duty in enumerate(calibration_duties):
+        with _SelfLoad(duty):
+            c_prev = canary_tflops(reps=1)
+            r, c, c_prev = timed_window(windows + j, max(steps // 2, 10),
+                                        c_prev)
+        cal_rates.append(r)
+        cal_canaries.append(c)
+
+    fit = affine_rate_fit(rates + cal_rates, canaries + cal_canaries,
+                          flops, B)
     normalized = fit["normalized"]
     best = max(rates)
     # per-chip MFU: rates are samples/sec/chip and flops is the program's
@@ -291,6 +399,11 @@ def measure(builder, B, precision, windows=8, steps=60, warmup=10,
         flops * normalized / B / V5E_PEAK_FLOPS
         if flops else None
     )
+    # opportunistic quiet evidence: the best RAW window that ran while the
+    # chip happened to be near-quiet (canary >= 150), if any — a direct
+    # measurement, no model involved
+    quiet_pairs = [(r, c) for r, c in zip(rates, canaries) if c >= 150.0]
+    quiet_window = max(quiet_pairs) if quiet_pairs else None
     return {
         "best": best,
         "median": statistics.median(rates),
@@ -298,11 +411,209 @@ def measure(builder, B, precision, windows=8, steps=60, warmup=10,
         "normalized_uncapped": fit["uncapped"],
         "normalized_capped": fit["capped"],
         "fit_r2": fit["r2"],
+        "fit_model": fit.get("model", "origin"),
+        "fit_canary_spread": fit.get("spread"),
         "mfu": mfu,
         "mfu_normalized": mfu_norm,
         "canary_median": statistics.median(canaries),
         "canaries": canaries,
+        "cal_rates": cal_rates,
+        "cal_canaries": cal_canaries,
+        "quiet_window_rate": quiet_window[0] if quiet_window else None,
+        "quiet_window_canary": quiet_window[1] if quiet_window else None,
+        "flops": flops,
     }
+
+
+def _epochs_until(step, state, arrays, labels, rng, B, acc_target=0.99,
+                  max_epochs=15):
+    """Train over the device-resident arrays; return the 1-based epoch at
+    which the DURING-epoch train accuracy first reaches `acc_target`
+    (reference semantics: train metrics are accumulated from the training
+    steps themselves, train_multimodal.py:438-496), or None."""
+    import jax
+    import numpy as np
+
+    n = int(labels.shape[0])
+    steps_per_epoch = n // B
+    host_rng = np.random.default_rng(0)
+    for epoch in range(1, max_epochs + 1):
+        perm = host_rng.permutation(n)[: steps_per_epoch * B]
+        correct = 0
+        for s in range(steps_per_epoch):
+            idx = jax.numpy.asarray(perm[s * B : (s + 1) * B])
+            batch = {k: jax.numpy.take(v, idx, axis=0)
+                     for k, v in arrays.items()}
+            batch["labels"] = jax.numpy.take(labels, idx, axis=0)
+            state, out = step(state, batch,
+                              jax.random.fold_in(rng, epoch * 10_000 + s))
+            correct += int(jax.numpy.sum(out["preds"] == batch["labels"]))
+        if correct / (steps_per_epoch * B) >= acc_target:
+            return epoch
+    return None
+
+
+def convergence_epochs(B=1024):
+    """BASELINE.md's third tracked metric: AVMNIST epochs-to-99% train
+    accuracy, scratch vs pretrained-encoder initialization (reference
+    README.md:28 — 8 vs 2 epochs). Runs the north-star flagship model on
+    the generated AVMNIST data (DATA/avmnist, same corpus the recorded
+    pipelines train on); encoders are pretrained monomodally in-process
+    (reference train_monomodal.py flow) before the pretrained variant."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mmtpu.config.optim import OptimizerConfig
+    from mmtpu.data.avmnist import AVMNIST
+    from mmtpu.modalities import Modality
+    from mmtpu.models import build_module
+    from mmtpu.train.losses import LossFunctionGroup
+    from mmtpu.train.optim import build_optimizer
+    from mmtpu.train.state import TrainState
+    from mmtpu.train.step import ClassificationTask, make_train_step
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    csv = os.path.join(root, "DATA", "avmnist", "train_subset.csv")
+    if not os.path.exists(csv):
+        return {"convergence_data": "unavailable"}
+    ds = AVMNIST(csv, split="train", selected_patterns=["ai"])
+    # whole split resident in HBM once — per-step host->device transfers
+    # would ride the tunnel 15 MB at a time
+    audio = jnp.asarray(np.asarray(ds.arrays[Modality.AUDIO],
+                                   np.float32))[..., None]
+    image = jnp.asarray(np.asarray(ds.arrays[Modality.IMAGE], np.float32))
+    labels = jnp.asarray(np.asarray(ds.labels, np.int64))
+    arrays = {"audio": audio, "image": image}
+    rng = jax.random.PRNGKey(0)
+
+    def flagship():
+        return build_module(
+            "avmnist",
+            audio_encoder=build_module("resnet18", in_channels=1,
+                                       hidden_dim=64),
+            image_encoder=build_module("resnet34", in_channels=1,
+                                       hidden_dim=128),
+            hidden_dim=128, dropout=0.5, fusion_fn="concat",
+        )
+
+    def make_state(model, variables):
+        tx, _ = build_optimizer(
+            OptimizerConfig(name="Adam",
+                            default_kwargs={"lr": 5e-4, "weight_decay": 1e-4}),
+            variables["params"],
+        )
+        return TrainState.create(
+            apply_fn=model.apply, params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}), tx=tx,
+        )
+
+    def multimodal_task(model):
+        return ClassificationTask(
+            model=model,
+            loss_group=LossFunctionGroup.from_dict(
+                {"ce": {"loss_name": "cross_entropy", "weight": 1.0}}
+            ),
+            input_keys=("audio", "image"),
+        )
+
+    # -- scratch ----------------------------------------------------------
+    model = flagship()
+    init_vars = jax.device_get(model.init(
+        {"params": rng}, audio[:2], image[:2], train=False
+    ))
+    step = make_train_step(multimodal_task(model), donate=False)
+    scratch = _epochs_until(step, make_state(model, init_vars), arrays,
+                            labels, rng, B)
+
+    # -- monomodal pretrain of each encoder (train_monomodal.py:536) ------
+    pretrained_parts = {}
+    for mod, enc_name, hidden in (("audio", "resnet18", 64),
+                                  ("image", "resnet34", 128)):
+        mono = build_module(
+            "monomodal_encoder",
+            encoder=build_module(enc_name, in_channels=1, hidden_dim=hidden),
+            output_dim=hidden, num_classes=10,
+        )
+        x = arrays[mod]
+        mv = mono.init({"params": rng}, x[:2], train=False)
+        mono_task = ClassificationTask(
+            model=mono,
+            loss_group=LossFunctionGroup.from_dict(
+                {"ce": {"loss_name": "cross_entropy", "weight": 1.0}}
+            ),
+            input_keys=(mod,),
+        )
+        mono_step = make_train_step(mono_task, donate=False)
+        mstate = make_state(mono, jax.device_get(mv))
+        n = int(labels.shape[0])
+        steps_per_epoch = n // B
+        host_rng = np.random.default_rng(0)
+        for epoch in range(1, 4 + 1):
+            perm = host_rng.permutation(n)[: steps_per_epoch * B]
+            for s in range(steps_per_epoch):
+                idx = jnp.asarray(perm[s * B : (s + 1) * B])
+                batch = {mod: jnp.take(x, idx, axis=0),
+                         "labels": jnp.take(labels, idx, axis=0)}
+                mstate, _ = mono_step(
+                    mstate, batch, jax.random.fold_in(rng, epoch * 10_000 + s)
+                )
+        got = jax.device_get(mstate.params)
+        stats = jax.device_get(mstate.batch_stats) if mstate.batch_stats else {}
+        pretrained_parts[mod] = (got.get("encoder", got), stats.get("encoder", {}))
+
+    # -- pretrained-encoder init (train_multimodal.py:156-204) ------------
+    pre_vars = jax.tree_util.tree_map(lambda x: x, init_vars)
+    for mod in ("audio", "image"):
+        enc_params, enc_stats = pretrained_parts[mod]
+        pre_vars["params"][f"{mod}_encoder"] = enc_params
+        if enc_stats:
+            pre_vars["batch_stats"][f"{mod}_encoder"] = enc_stats
+    pretrained = _epochs_until(step, make_state(model, pre_vars), arrays,
+                               labels, rng, B)
+    return {
+        "convergence_data": "avmnist_generated",
+        "epochs_to_99_scratch": scratch,
+        "epochs_to_99_pretrained": pretrained,
+    }
+
+
+def quiet_captures():
+    """Best opportunistic quiet-chip capture recorded by
+    scripts/quiet_bench_probe.py — from the tracked QUIET_CAPTURES.jsonl
+    (committed evidence) or the workspace log, whichever is best."""
+    import os
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for path in (
+        os.path.join(root, "QUIET_CAPTURES.jsonl"),
+        os.path.join(root, "experiments_output", "quiet_bench_log.jsonl"),
+    ):
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    entry = json.loads(line)
+                    value = entry["bench"]["value"]
+                except (KeyError, TypeError, json.JSONDecodeError):
+                    continue
+                if best is None or value > best["value_quiet_observed"]:
+                    best = {
+                        "value_quiet_observed": value,
+                        "quiet_observed_ts": entry.get("ts"),
+                        "quiet_observed_trigger_canary": entry.get(
+                            "trigger_canary"
+                        ),
+                        "quiet_observed_mfu": entry["bench"].get("mfu"),
+                    }
+    return best or {}
 
 
 def _enable_compile_cache() -> None:
@@ -340,10 +651,20 @@ def main() -> None:
         # disagree with the sweep winner just printed above
         return
 
-    m = measure(build, DEFAULT_BATCH, DEFAULT_PRECISION)
+    # self-load duty cycles generate canary spread for the affine
+    # calibration even when co-tenant load is flat during the run
+    m = measure(build, DEFAULT_BATCH, DEFAULT_PRECISION,
+                calibration_duties=(0.25, 0.6, 1.0))
     mosi_B = 32
     mm = measure(build_mosi, mosi_B, DEFAULT_PRECISION, windows=4, steps=50,
                  spread_s=4.0)
+
+    conv = {}
+    if "--no-convergence" not in sys.argv:
+        try:
+            conv = convergence_epochs()
+        except Exception as e:  # bench must never crash the driver run
+            conv = {"convergence_data": "error", "convergence_error": repr(e)[:200]}
 
     print(
         json.dumps(
@@ -362,6 +683,29 @@ def main() -> None:
                 ),
                 "canary_cap_engaged": m["normalized_capped"],
                 "canary_fit_r2": round(m["fit_r2"], 4),
+                "canary_fit_model": m["fit_model"],
+                "canary_fit_spread_tflops": (
+                    round(m["fit_canary_spread"], 1)
+                    if m["fit_canary_spread"] is not None else None
+                ),
+                # direct quiet evidence, when available: best raw window
+                # that ran at canary>=150 this run, and the best capture
+                # scripts/quiet_bench_probe.py ever recorded
+                "quiet_window_rate": (
+                    round(m["quiet_window_rate"], 1)
+                    if m["quiet_window_rate"] else None
+                ),
+                "quiet_window_canary": (
+                    round(m["quiet_window_canary"], 1)
+                    if m["quiet_window_canary"] else None
+                ),
+                "quiet_window_mfu": (
+                    round(m["flops"] * m["quiet_window_rate"]
+                          / DEFAULT_BATCH / V5E_PEAK_FLOPS, 4)
+                    if m["quiet_window_rate"] and m["flops"] else None
+                ),
+                **quiet_captures(),
+                **conv,
                 "mfu": round(m["mfu"], 4) if m["mfu"] else None,
                 "mfu_canary_normalized": (
                     round(m["mfu_normalized"], 4) if m["mfu_normalized"] else None

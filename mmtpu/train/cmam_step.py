@@ -22,11 +22,16 @@ import jax.numpy as jnp
 from mmtpu.train.cmam_loss import CMAMLoss
 from mmtpu.train.state import TrainState
 
-# model_type → (modality → forward-kwarg letter)
+# model_type → (modality → forward-kwarg letter). Keys are the lowercased
+# spellings the reference YAML corpus actually uses for CMAM base models:
+# resolver names ("utt-fusion") AND class names ("UttFusionModel", e.g.
+# configs/mosei/centralised/cmams/audio_cmams/audio_to_text_cosine.yaml:12).
+_TRIMODAL = {"audio": "A", "video": "V", "text": "T"}
 FORWARD_KWARGS: Dict[str, Dict[str, str]] = {
     "avmnist": {"audio": "A", "image": "I"},
-    "utt-fusion": {"audio": "A", "video": "V", "text": "T"},
-    "utt_fusion": {"audio": "A", "video": "V", "text": "T"},
+    "utt-fusion": _TRIMODAL,
+    "utt_fusion": _TRIMODAL,
+    "uttfusionmodel": _TRIMODAL,
     "mmimdb": {"image": "I", "text": "T"},
 }
 

@@ -154,13 +154,26 @@ GENERATORS = {
 
 
 def _ensure_source_data() -> None:
-    """Generate any missing synthetic source dataset (fresh-host case)."""
+    """Generate any missing synthetic source dataset (fresh-host case).
+
+    Completeness is tracked by a `.generated.<name>` marker written only
+    AFTER the generator exits 0 — the generators write their multi-file
+    outputs non-atomically, so probing a data file alone would let an
+    interrupted first provisioning pass forever. Pre-marker datasets
+    (round-3 provisioning, consumed successfully by whole lanes) are
+    grandfathered: probe present + no marker → write the marker once.
+    """
     for name, (probe, script) in GENERATORS.items():
+        marker = REPO / "DATA" / name / f".generated.{name}"
+        if marker.exists():
+            continue
         if (REPO / "DATA" / name / probe).exists():
+            marker.write_text("grandfathered: pre-marker provisioning\n")
             continue
         print(f"source data missing for {name}; running {script}", flush=True)
         subprocess.run([sys.executable, str(REPO / "scripts" / script)],
                        check=True, cwd=REPO)
+        marker.write_text("ok\n")
 
 
 def _stage_workspace_data(ws: Path, avmnist_rows: int) -> None:
@@ -248,15 +261,20 @@ def main() -> int:
 
     ws = Path(args.workspace)
     (ws / "logs").mkdir(parents=True, exist_ok=True)
-    # Exclusive lock: parallel lanes (one smoke process per config family,
-    # sharing the workspace) must not race the generators or the truncated
-    # staging writes — the first lane does the work, the rest wait then
-    # see the idempotency markers.
+    # Two exclusive locks: the GENERATOR lock is repo-scoped because
+    # _ensure_source_data mutates repo-global state (REPO/DATA) that every
+    # lane consumes regardless of its --workspace; the STAGING lock is
+    # workspace-scoped for the truncated staging writes. Lanes sharing a
+    # workspace serialize on both; lanes with distinct workspaces still
+    # serialize on the generators.
     import fcntl
 
+    (REPO / "DATA").mkdir(exist_ok=True)
+    with open(REPO / "DATA" / ".gen.lock", "w") as gen_lock:
+        fcntl.flock(gen_lock, fcntl.LOCK_EX)
+        _ensure_source_data()
     with open(ws / ".staging.lock", "w") as lock:
         fcntl.flock(lock, fcntl.LOCK_EX)
-        _ensure_source_data()
         _stage_workspace_data(ws, args.avmnist_rows)
 
     # earlier rows at the same report path are preserved: --resume skips
@@ -271,12 +289,23 @@ def main() -> int:
         prior = {k: r for k, r in existing.items() if r["status"] == "ok"}
 
     def write_report(results):
-        merged = dict(existing)
-        merged.update({r["config"]: r for r in results})
-        Path(args.report).parent.mkdir(parents=True, exist_ok=True)
-        Path(args.report).write_text(
-            json.dumps(sorted(merged.values(), key=lambda r: r["config"]),
-                       indent=1))
+        # Lanes may share a --report: re-read the file under an exclusive
+        # lock, merge THIS lane's rows in, and replace atomically — so
+        # concurrent lanes interleave instead of last-writer-wins.
+        report = Path(args.report)
+        report.parent.mkdir(parents=True, exist_ok=True)
+        with open(report.parent / (report.name + ".lock"), "w") as rlock:
+            fcntl.flock(rlock, fcntl.LOCK_EX)
+            merged = {}
+            if report.exists():
+                merged = {r["config"]: r
+                          for r in json.loads(report.read_text())}
+            merged.update({r["config"]: r for r in results})
+            tmp = report.with_suffix(".json.tmp")
+            tmp.write_text(
+                json.dumps(sorted(merged.values(),
+                                  key=lambda r: r["config"]), indent=1))
+            tmp.replace(report)
 
     configs = sorted(REF_CONFIGS.rglob("*.yaml"))
     rows = []

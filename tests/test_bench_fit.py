@@ -58,3 +58,57 @@ def test_mfu_cap_applies():
     assert out["normalized"] == pytest.approx(cap)
     assert out["capped"]
     assert out["uncapped"] == pytest.approx(cap * 5, rel=1e-6)
+
+
+def test_affine_fit_matches_origin_on_proportional_data():
+    quiet = 250_000.0
+    fracs = [0.2, 0.4, 0.6, 0.8]
+    canaries = [bench.QUIET_CANARY_TFLOPS * f for f in fracs]
+    rates = [quiet * f for f in fracs]
+    out = bench.affine_rate_fit(rates, canaries, flops=None, B=1024)
+    assert out["model"] == "affine"
+    assert out["normalized"] == pytest.approx(quiet, rel=1e-9)
+    assert out["intercept"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_affine_fit_corrects_origin_overshoot_on_concave_data():
+    # mixed (non-pure-MXU) step degrades LESS than the canary under
+    # contention: rate = a + b*canary with a>0. The origin fit overshoots
+    # on quiet extrapolation; the affine fit recovers the truth.
+    a, b = 40_000.0, 1_000.0
+    canaries = [30.0, 60.0, 90.0, 120.0]
+    rates = [a + b * c for c in canaries]
+    truth = a + b * bench.QUIET_CANARY_TFLOPS
+    affine = bench.affine_rate_fit(rates, canaries, flops=None, B=1024)
+    origin = bench.quiet_rate_fit(rates, canaries, flops=None, B=1024)
+    assert affine["normalized"] == pytest.approx(truth, rel=1e-9)
+    assert origin["normalized"] > truth  # the round-3 failure mode
+    assert affine["r2"] == pytest.approx(1.0)
+
+
+def test_affine_fit_falls_back_without_spread():
+    canaries = [50.0, 52.0, 51.0, 50.5]  # spread < 25 TFLOPS
+    rates = [100_000.0, 104_000.0, 102_000.0, 101_000.0]
+    out = bench.affine_rate_fit(rates, canaries, flops=None, B=1024)
+    assert out["model"] == "origin"
+    assert out["normalized"] == pytest.approx(
+        bench.quiet_rate_fit(rates, canaries, None, 1024)["normalized"]
+    )
+
+
+def test_affine_fit_never_below_best_observed_window():
+    # downward-sloping noise must not predict quiet SLOWER than observed
+    canaries = [100.0, 150.0, 60.0]
+    rates = [200_000.0, 205_000.0, 120_000.0]
+    out = bench.affine_rate_fit(rates, canaries, flops=None, B=1024)
+    assert out["normalized"] >= 205_000.0
+
+
+def test_affine_fit_respects_mfu_cap():
+    flops, B = 1e9, 1024
+    cap = bench.V5E_PEAK_FLOPS * B / flops
+    canaries = [30.0, 90.0, 150.0]
+    rates = [cap * 0.5, cap * 1.5, cap * 2.5]
+    out = bench.affine_rate_fit(rates, canaries, flops=flops, B=B)
+    assert out["normalized"] == pytest.approx(cap)
+    assert out["capped"]

@@ -277,3 +277,23 @@ class TestMultilabelPredictions:
         out = make_cmam_eval_step(ml_task)(state, batch)
         assert out["preds"].shape == (8, 10)
         assert set(np.unique(np.asarray(out["preds"]))) <= {0, 1}
+
+
+class TestForwardKwargAliases:
+    def test_class_name_spelling_maps_to_trimodal_letters(self):
+        # configs/mosei/centralised/cmams/*/*.yaml declare the BASE model as
+        # model_type: "UttFusionModel" (the class name), not "utt-fusion"
+        # (the resolver name) — both must resolve to the same kwarg letters
+        from mmtpu.train.cmam_step import FORWARD_KWARGS
+
+        for spelling in ("utt-fusion", "utt_fusion", "uttfusionmodel"):
+            assert FORWARD_KWARGS[spelling] == {
+                "audio": "A", "video": "V", "text": "T",
+            }
+
+    def test_kwarg_letters_uses_case_insensitive_model_type(self):
+        task, _, _, _ = build_task()
+        task = __import__("dataclasses").replace(
+            task, base_model_type="UttFusionModel"
+        )
+        assert task._kwarg_letters()["video"] == "V"
