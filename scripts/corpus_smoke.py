@@ -173,6 +173,7 @@ def _ensure_source_data() -> None:
         print(f"source data missing for {name}; running {script}", flush=True)
         subprocess.run([sys.executable, str(REPO / "scripts" / script)],
                        check=True, cwd=REPO)
+        marker.parent.mkdir(parents=True, exist_ok=True)
         marker.write_text("ok\n")
 
 

@@ -23,9 +23,24 @@ import sys as _sys
 _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from mmtpu.utils.compile_cache import host_cache_dir as _host_cache_dir  # noqa: E402
 
-_CACHE = _host_cache_dir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# honor a caller-provided cache dir (host-keyed — CPU AOT entries must
+# never cross machines; also lets a cold-suite timing run point at an
+# empty dir), defaulting to the repo's host-keyed cache
+if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    from mmtpu.utils.compile_cache import _host_key as _hk
+
+    _env_dir = os.environ["JAX_COMPILATION_CACHE_DIR"]
+    _CACHE = (
+        _env_dir
+        if os.path.basename(os.path.normpath(_env_dir)) == _hk()
+        else os.path.join(_env_dir, _hk())
+    )
+else:
+    _CACHE = _host_cache_dir(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
 os.makedirs(_CACHE, exist_ok=True)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE)
+os.environ["JAX_COMPILATION_CACHE_DIR"] = _CACHE
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 

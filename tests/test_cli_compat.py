@@ -425,3 +425,14 @@ def test_corpus_smoke_ensures_source_data(tmp_path, monkeypatch):
     expected = {script for name, (probe, script) in cs.GENERATORS.items()
                 if not (fake_repo / "DATA" / name / probe).exists()}
     assert set(ran) == expected
+    # completion markers: written for every generated dataset (only after
+    # the generator exits 0) and grandfathered for the pre-existing probe
+    for name in cs.GENERATORS:
+        assert (fake_repo / "DATA" / name / f".generated.{name}").exists()
+    assert "grandfathered" in (
+        fake_repo / "DATA" / "mosi" / ".generated.mosi"
+    ).read_text()
+    # marker present -> a rerun runs nothing, even with the probe gone
+    ran.clear()
+    cs._ensure_source_data()
+    assert ran == []
