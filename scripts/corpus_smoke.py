@@ -58,6 +58,30 @@ BROKEN_IN_REFERENCE = {
     "mosei/centralised/cmams/text_cmams/text_to_video_cosine_mse.yaml",
 }
 
+# Broken in the reference at TRAIN time (the spec builds, but the
+# reference's own code cannot train it): reported as `xfail` rows with the
+# reason, never executed. Evidence is file:line in the reference.
+TRAIN_BROKEN_IN_REFERENCE = {
+    # Self-MM's BertTextEncoder consumes text as (B, 3, seq_len) bert
+    # token triplets — ids/mask/segments sliced at
+    # models/msa/networks/bert_text_encoder.py:57-60 with `.long()` casts —
+    # but the repo's MOSI loader emits (B, 50, 768) float FEATURES
+    # (data/mosi.py:138, the only text key in aligned/unaligned_50.pkl).
+    # text[:, 0, :].long() turns float features into garbage token ids of
+    # "sequence length" 768: torch crashes on the out-of-range/negative
+    # embedding indices (and a bounds-clipping backend trains BERT on
+    # noise at 15x the real sequence length — 16.7 GB HBM at batch 32).
+    # No config/dataset in the repo produces the (B, 3, T) format.
+    "self-mm/train_self_mm_mosi.yaml": (
+        "BertTextEncoder needs (B,3,seq) token ids "
+        "(bert_text_encoder.py:57-60); MOSI loader only emits (B,50,768) "
+        "float features (data/mosi.py:138)"
+    ),
+    "self-mm/train_self_mm_mosi_missing_text_03.yaml": (
+        "same text-format contract violation via unaligned_50.pkl"
+    ),
+}
+
 
 def route(rel: str, head: str) -> str:
     if "/cmams/" in rel or "CMAM" in head:
@@ -339,6 +363,15 @@ def main() -> int:
     results = []
     n_ok = n_fail = 0
     for stage, rel, module, path in rows:
+        if rel in TRAIN_BROKEN_IN_REFERENCE:
+            results.append({
+                "config": rel, "module": module.rsplit(".", 1)[-1],
+                "stage": stage, "status": "xfail", "rc": None,
+                "seconds": 0.0, "log": "",
+                "reason": TRAIN_BROKEN_IN_REFERENCE[rel],
+            })
+            write_report(results)
+            continue
         if rel in prior:
             results.append(prior[rel])
             n_ok += 1
@@ -400,9 +433,13 @@ def main() -> int:
         write_report(results)
 
     write_report(results)
-    print(f"\n{n_ok} ok, {n_fail} failed -> {args.report}")
+    n_xfail = sum(1 for r in results if r["status"] == "xfail")
+    print(f"\n{n_ok} ok, {n_fail} failed, {n_xfail} xfail "
+          f"(train-broken in reference) -> {args.report}")
     for r in results:
-        if r["status"] != "ok":
+        if r["status"] == "xfail":
+            print(f"  xfail {r['config']}: {r['reason']}")
+        elif r["status"] != "ok":
             print(f"  FAIL {r['config']} (rc={r['rc']}) log={r['log']}")
     return 1 if n_fail else 0
 

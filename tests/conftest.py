@@ -41,6 +41,36 @@ else:
     )
 os.makedirs(_CACHE, exist_ok=True)
 os.environ["JAX_COMPILATION_CACHE_DIR"] = _CACHE
+
+
+def _unpack_prewarmed_cache() -> None:
+    """Seed an empty host-keyed cache dir from the committed pre-warmed
+    tarball (tools/xla_prewarm/) — ONLY when the tarball's fingerprint
+    matches this host (foreign XLA:CPU AOT entries risk SIGILL; see
+    mmtpu/utils/compile_cache.py). Cuts a fresh host's cold suite from
+    ~15 min of compiles to the long tail."""
+    import glob
+    import tarfile
+
+    from mmtpu.utils.compile_cache import _host_key
+
+    key = _host_key()
+    if os.listdir(_CACHE):  # already warm — nothing to do
+        return
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for tb in glob.glob(
+        os.path.join(root, "tools", "xla_prewarm", f"*.{key}.tar.xz")
+    ):
+        target = os.path.dirname(os.path.normpath(_CACHE))
+        with tarfile.open(tb, "r:xz") as tf:
+            tf.extractall(target, filter="data")
+        break
+
+
+try:
+    _unpack_prewarmed_cache()
+except Exception:
+    pass  # a corrupt/unreadable tarball must never break the suite
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 

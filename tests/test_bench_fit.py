@@ -112,3 +112,39 @@ def test_affine_fit_respects_mfu_cap():
     out = bench.affine_rate_fit(rates, canaries, flops=flops, B=B)
     assert out["normalized"] == pytest.approx(cap)
     assert out["capped"]
+
+
+def test_quiet_captures_picks_best_entry(tmp_path, monkeypatch):
+    import json as _json
+    import os as _os
+
+    root = tmp_path
+    lines = [
+        {"ts": "t1", "trigger_canary": 160.0, "rc": 0,
+         "bench": {"value": 200000.0, "mfu": 0.7}},
+        {"ts": "t2", "trigger_canary": 180.0, "rc": 0,
+         "bench": {"value": 280000.0, "mfu": 0.95}},
+        {"ts": "t3", "rc": 1, "raw": "crashed"},  # no bench -> skipped
+    ]
+    with open(root / "QUIET_CAPTURES.jsonl", "w") as f:
+        for e in lines:
+            f.write(_json.dumps(e) + "\n")
+    monkeypatch.setattr(
+        _os.path, "dirname", lambda p, _d=_os.path.dirname: str(root)
+        if p == bench.__file__ else _d(p),
+    )
+    out = bench.quiet_captures()
+    assert out["value_quiet_observed"] == 280000.0
+    assert out["quiet_observed_ts"] == "t2"
+    assert out["quiet_observed_trigger_canary"] == 180.0
+    assert out["quiet_observed_mfu"] == 0.95
+
+
+def test_quiet_captures_empty_without_files(tmp_path, monkeypatch):
+    import os as _os
+
+    monkeypatch.setattr(
+        _os.path, "dirname", lambda p, _d=_os.path.dirname: str(tmp_path)
+        if p == bench.__file__ else _d(p),
+    )
+    assert bench.quiet_captures() == {}
