@@ -317,6 +317,9 @@ def main() -> int:
         # Lanes may share a --report: re-read the file under an exclusive
         # lock, merge THIS lane's rows in, and replace atomically — so
         # concurrent lanes interleave instead of last-writer-wins.
+        # Freshness rule per config: prefer the row with the NEWER
+        # finished_at (a slow lane's final flush must not resurrect its
+        # stale FAIL over another lane's later ok).
         report = Path(args.report)
         report.parent.mkdir(parents=True, exist_ok=True)
         with open(report.parent / (report.name + ".lock"), "w") as rlock:
@@ -325,7 +328,11 @@ def main() -> int:
             if report.exists():
                 merged = {r["config"]: r
                           for r in json.loads(report.read_text())}
-            merged.update({r["config"]: r for r in results})
+            for r in results:
+                cur = merged.get(r["config"])
+                if cur and cur.get("finished_at", 0) > r.get("finished_at", 0):
+                    continue
+                merged[r["config"]] = r
             tmp = report.with_suffix(".json.tmp")
             tmp.write_text(
                 json.dumps(sorted(merged.values(),
@@ -368,6 +375,7 @@ def main() -> int:
                 "config": rel, "module": module.rsplit(".", 1)[-1],
                 "stage": stage, "status": "xfail", "rc": None,
                 "seconds": 0.0, "log": "",
+                "finished_at": round(time.time(), 1),
                 "reason": TRAIN_BROKEN_IN_REFERENCE[rel],
             })
             write_report(results)
@@ -426,7 +434,8 @@ def main() -> int:
         results.append({"config": rel, "module": module.rsplit(".", 1)[-1],
                         "stage": stage, "status": status, "rc": rc,
                         "seconds": round(dt, 1), "log": str(log_path),
-                        "retried": retried, "error_tail": tail})
+                        "retried": retried, "error_tail": tail,
+                        "finished_at": round(time.time(), 1)})
         print(f"[{n_ok + n_fail}/{len(rows)}] {status:4s} {dt:7.1f}s  {rel}",
               flush=True)
         # incremental: an interrupted sweep resumes from completed configs
