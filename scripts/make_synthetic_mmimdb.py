@@ -73,7 +73,7 @@ def main(out_root: str = "DATA") -> None:
             c[s] = 1.0
             return c
 
-        img = corrupt(0.30, 0.04) @ img_emb * 0.03 + rng.normal(
+        img = corrupt(0.30, 0.04) @ img_emb * 0.04 + rng.normal(
             size=(n, D_IMG)
         ).astype(np.float32)
         hidden = np.maximum(corrupt(0.10, 0.01) @ txt_w1, 0.0)
