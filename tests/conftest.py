@@ -45,19 +45,25 @@ os.environ["JAX_COMPILATION_CACHE_DIR"] = _CACHE
 
 def _unpack_prewarmed_cache() -> None:
     """Seed an empty host-keyed cache dir from the committed pre-warmed
-    tarball (tools/xla_prewarm/) — ONLY when the tarball's fingerprint
+    tarball (tools/xla_prewarm/) — ONLY when (a) the tarball's fingerprint
     matches this host (foreign XLA:CPU AOT entries risk SIGILL; see
-    mmtpu/utils/compile_cache.py). Cuts a fresh host's cold suite from
-    ~15 min of compiles to the long tail."""
+    mmtpu/utils/compile_cache.py) and (b) the cache dir is the CANONICAL
+    repo path the tarball was captured at: jax hashes the configured cache
+    dir into every cache key (the xla_gpu_per_fusion_autotune_cache_dir
+    compile option is derived from it), so entries only ever hit at the
+    exact directory path they were compiled under. Cuts a fresh host's
+    cold suite from ~15 min of compiles to the long tail."""
     import glob
     import tarfile
 
-    from mmtpu.utils.compile_cache import _host_key
+    from mmtpu.utils.compile_cache import _host_key, host_cache_dir
 
     key = _host_key()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if os.path.normpath(_CACHE) != os.path.normpath(host_cache_dir(root)):
+        return  # non-canonical dir: tarball entries would never hit
     if os.listdir(_CACHE):  # already warm — nothing to do
         return
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for tb in glob.glob(
         os.path.join(root, "tools", "xla_prewarm", f"*.{key}.tar.xz")
     ):
