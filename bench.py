@@ -315,7 +315,7 @@ class _SelfLoad:
 
 
 def measure(builder, B, precision, windows=8, steps=60, warmup=10,
-            spread_s=8.0, calibration_duties=()):
+            spread_s=18.0, calibration_duties=()):
     """Timed windows spread over ~minutes, one canary per window.
 
     Returns dict with best/median raw rate, canary-normalized rate, MFU
@@ -417,6 +417,7 @@ def measure(builder, B, precision, windows=8, steps=60, warmup=10,
         "mfu_normalized": mfu_norm,
         "canary_median": statistics.median(canaries),
         "canaries": canaries,
+        "rates": rates,
         "cal_rates": cal_rates,
         "cal_canaries": cal_canaries,
         "quiet_window_rate": quiet_window[0] if quiet_window else None,
@@ -712,6 +713,14 @@ def main() -> None:
                 ),
                 "canary_tflops": round(m["canary_median"], 1),
                 "quiet_canary_tflops": QUIET_CANARY_TFLOPS,
+                # full evidence: per-window (rate, canary) pairs, then the
+                # self-load calibration pairs the affine fit also saw
+                "window_rates": [round(r, 1) for r in m["rates"]],
+                "window_canaries": [round(c, 1) for c in m["canaries"]],
+                "calibration_rates": [round(r, 1) for r in m["cal_rates"]],
+                "calibration_canaries": [
+                    round(c, 1) for c in m["cal_canaries"]
+                ],
                 "mosi_uttfusion_step_ms": round(1000.0 * mosi_B / mm["best"], 3),
                 "mosi_uttfusion_step_ms_canary_normalized": round(
                     1000.0 * mosi_B / mm["normalized"], 3
