@@ -225,7 +225,8 @@ def quiet_rate_fit(rates, canaries, flops, B):
     }
 
 
-def affine_rate_fit(rates, canaries, flops, B, min_spread=25.0):
+def affine_rate_fit(rates, canaries, flops, B, min_spread=25.0,
+                    n_natural=None):
     """Two-parameter calibrated fit: rate ≈ a + b*canary.
 
     The through-origin model (quiet_rate_fit) systematically OVERSHOOTS on
@@ -238,10 +239,14 @@ def affine_rate_fit(rates, canaries, flops, B, min_spread=25.0):
     generates it deliberately by self-injecting competing matmul load at
     several duty cycles (see _SelfLoad) instead of hoping co-tenant load
     varies during the run. Falls back to the origin fit when the windows
-    don't span ≥ `min_spread` TFLOPS or the slope comes out non-positive.
+    don't span ≥ `min_spread` TFLOPS or the slope comes out non-positive —
+    and that fallback uses ONLY the first `n_natural` (uncalibrated)
+    windows: self-load points have the inflated rate/canary ratio the
+    origin model is most wrong about, and must not feed it.
     """
-    origin = quiet_rate_fit(rates, canaries, flops, B)
     n = len(rates)
+    nat = n if n_natural is None else n_natural
+    origin = quiet_rate_fit(rates[:nat], canaries[:nat], flops, B)
     spread = max(canaries) - min(canaries)
     if n < 3 or spread < min_spread:
         return {**origin, "model": "origin", "spread": spread}
@@ -310,8 +315,13 @@ class _SelfLoad:
         return self
 
     def __exit__(self, *exc):
+        # After _stop is set the thread issues no NEW work — at worst it is
+        # blocked on ONE in-flight matmul. The tunnel can stall minutes, so
+        # wait generously; if it still hasn't drained, flag it so the
+        # caller can discard calibration points measured after the leak.
         self._stop.set()
-        self._thread.join(timeout=30)
+        self._thread.join(timeout=120)
+        self.leaked = self._thread.is_alive()
 
 
 def measure(builder, B, precision, windows=8, steps=60, warmup=10,
@@ -388,7 +398,7 @@ def measure(builder, B, precision, windows=8, steps=60, warmup=10,
         cal_canaries.append(c)
 
     fit = affine_rate_fit(rates + cal_rates, canaries + cal_canaries,
-                          flops, B)
+                          flops, B, n_natural=len(rates))
     normalized = fit["normalized"]
     best = max(rates)
     # per-chip MFU: rates are samples/sec/chip and flops is the program's
@@ -426,32 +436,48 @@ def measure(builder, B, precision, windows=8, steps=60, warmup=10,
     }
 
 
-def _epochs_until(step, state, arrays, labels, rng, B, acc_target=0.99,
-                  max_epochs=15):
-    """Train over the device-resident arrays; return the 1-based epoch at
-    which the DURING-epoch train accuracy first reaches `acc_target`
-    (reference semantics: train metrics are accumulated from the training
-    steps themselves, train_multimodal.py:438-496), or None."""
+def _run_epochs(step, state, arrays, labels, rng, B, max_epochs,
+                acc_target=None):
+    """Train over the device-resident arrays for up to `max_epochs`.
+
+    Returns (final_state, first_epoch_reaching_acc_target_or_None). The
+    per-step correct-count stays a DEVICE scalar, fetched once per epoch —
+    per-step int() fetches would serialize dispatch over the tunnel, the
+    very cost keeping the whole split HBM-resident avoids. Train accuracy
+    is accumulated from the training steps themselves, the reference's
+    semantics (train_multimodal.py:438-496)."""
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     n = int(labels.shape[0])
     steps_per_epoch = n // B
     host_rng = np.random.default_rng(0)
+    reached = None
     for epoch in range(1, max_epochs + 1):
         perm = host_rng.permutation(n)[: steps_per_epoch * B]
-        correct = 0
+        correct = jnp.zeros((), jnp.int32)
         for s in range(steps_per_epoch):
-            idx = jax.numpy.asarray(perm[s * B : (s + 1) * B])
-            batch = {k: jax.numpy.take(v, idx, axis=0)
-                     for k, v in arrays.items()}
-            batch["labels"] = jax.numpy.take(labels, idx, axis=0)
+            idx = jnp.asarray(perm[s * B : (s + 1) * B])
+            batch = {k: jnp.take(v, idx, axis=0) for k, v in arrays.items()}
+            batch["labels"] = jnp.take(labels, idx, axis=0)
             state, out = step(state, batch,
                               jax.random.fold_in(rng, epoch * 10_000 + s))
-            correct += int(jax.numpy.sum(out["preds"] == batch["labels"]))
-        if correct / (steps_per_epoch * B) >= acc_target:
-            return epoch
-    return None
+            correct = correct + jnp.sum(out["preds"] == batch["labels"])
+        if acc_target is not None and reached is None and \
+                int(correct) / (steps_per_epoch * B) >= acc_target:
+            reached = epoch
+            break
+    return state, reached
+
+
+def _epochs_until(step, state, arrays, labels, rng, B, acc_target=0.99,
+                  max_epochs=15):
+    """First 1-based epoch whose during-epoch train accuracy reaches
+    `acc_target`, or None."""
+    _, reached = _run_epochs(step, state, arrays, labels, rng, B,
+                             max_epochs, acc_target=acc_target)
+    return reached
 
 
 def convergence_epochs(B=1024):
@@ -549,18 +575,8 @@ def convergence_epochs(B=1024):
         )
         mono_step = make_train_step(mono_task, donate=False)
         mstate = make_state(mono, jax.device_get(mv))
-        n = int(labels.shape[0])
-        steps_per_epoch = n // B
-        host_rng = np.random.default_rng(0)
-        for epoch in range(1, 4 + 1):
-            perm = host_rng.permutation(n)[: steps_per_epoch * B]
-            for s in range(steps_per_epoch):
-                idx = jnp.asarray(perm[s * B : (s + 1) * B])
-                batch = {mod: jnp.take(x, idx, axis=0),
-                         "labels": jnp.take(labels, idx, axis=0)}
-                mstate, _ = mono_step(
-                    mstate, batch, jax.random.fold_in(rng, epoch * 10_000 + s)
-                )
+        mstate, _ = _run_epochs(mono_step, mstate, {mod: x}, labels, rng, B,
+                                max_epochs=4)
         got = jax.device_get(mstate.params)
         stats = jax.device_get(mstate.batch_stats) if mstate.batch_stats else {}
         pretrained_parts[mod] = (got.get("encoder", got), stats.get("encoder", {}))

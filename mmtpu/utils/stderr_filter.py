@@ -93,4 +93,11 @@ def suppress_benign_aot_warnings():
         t.join(timeout=10)
         sys.stderr.close()
         sys.stderr = orig_stderr
+        if t.is_alive():
+            # A child that inherited the pipe's write end keeps the pump
+            # blocked past the timeout. Closing real_fd now would race the
+            # pump's os.write into whatever reuses the fd number next —
+            # deliberately LEAK the single fd instead (the pump still
+            # forwards any stragglers to the real stderr it points at).
+            return
         os.close(real_fd)

@@ -167,13 +167,16 @@ def _truncate_hdf5(data: Path, name: str, n: dict[str, int]) -> None:
 
 #: Synthetic source datasets are gitignored (GB-scale); a fresh host has
 #: only the committed CSV indexes. Probe file → generator script, checked
-#: before staging so the smoke is self-sufficient on a new VM.
+#: before staging so the smoke is self-sufficient on a new VM. Each probe
+#: is the file its generator writes LAST — probing an early output would
+#: let an interrupted provisioning pass as complete (and be grandfathered
+#: into a marker), leaving a permanently half-generated dataset.
 GENERATORS = {
-    "mosi": ("aligned_50.pkl", "make_synthetic_mosi.py"),
+    "mosi": ("unaligned_50.pkl", "make_synthetic_mosi.py"),
     "mosei": ("aligned.pkl", "make_synthetic_mosei.py"),
-    "iemocap": ("A/comparE.h5", "make_synthetic_iemocap.py"),
-    "mmimdb": ("train.hdf5", "make_synthetic_mmimdb.py"),
-    "kinetics-sounds": ("tensors", "make_synthetic_kinetics_sounds.py"),
+    "iemocap": ("target/10/tst_int2name.npy", "make_synthetic_iemocap.py"),
+    "mmimdb": ("test.hdf5", "make_synthetic_mmimdb.py"),
+    "kinetics-sounds": ("test.csv", "make_synthetic_kinetics_sounds.py"),
 }
 
 

@@ -28,11 +28,11 @@ from mmtpu.utils.compile_cache import host_cache_dir as _host_cache_dir  # noqa:
 # empty dir), defaulting to the repo's host-keyed cache
 if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
     from mmtpu.utils.compile_cache import _host_key as _hk
+    from mmtpu.utils.compile_cache import is_host_keyed as _is_host_keyed
 
     _env_dir = os.environ["JAX_COMPILATION_CACHE_DIR"]
     _CACHE = (
-        _env_dir
-        if os.path.basename(os.path.normpath(_env_dir)) == _hk()
+        _env_dir if _is_host_keyed(_env_dir)
         else os.path.join(_env_dir, _hk())
     )
 else:

@@ -414,7 +414,7 @@ def test_corpus_smoke_ensures_source_data(tmp_path, monkeypatch):
     (fake_repo / "scripts").mkdir(parents=True)
     # mosi present, the rest missing
     (fake_repo / "DATA" / "mosi").mkdir(parents=True)
-    (fake_repo / "DATA" / "mosi" / "aligned_50.pkl").write_bytes(b"x")
+    (fake_repo / "DATA" / "mosi" / "unaligned_50.pkl").write_bytes(b"x")
     monkeypatch.setattr(cs, "REPO", fake_repo)
 
     ran = []
