@@ -148,3 +148,19 @@ def test_quiet_captures_empty_without_files(tmp_path, monkeypatch):
         if p == bench.__file__ else _d(p),
     )
     assert bench.quiet_captures() == {}
+
+
+def test_affine_fallback_excludes_calibration_points():
+    # natural windows all near one canary (no spread); self-load points at
+    # LOW canary with inflated rate/canary ratio. The origin fallback must
+    # be fit over the natural windows only — including the calibration
+    # points would inflate the extrapolation (the round-3 failure mode).
+    nat_rates, nat_canaries = [60_000.0, 61_000.0, 59_500.0], [30.0, 31.0, 30.5]
+    cal_rates, cal_canaries = [55_000.0], [20.0]  # ratio 2750 vs natural ~1970
+    out = bench.affine_rate_fit(
+        nat_rates + cal_rates, nat_canaries + cal_canaries,
+        flops=None, B=1024, n_natural=len(nat_rates),
+    )
+    assert out["model"] == "origin"  # spread 11 < 25
+    expected = bench.quiet_rate_fit(nat_rates, nat_canaries, None, 1024)
+    assert out["normalized"] == pytest.approx(expected["normalized"])
