@@ -454,9 +454,11 @@ def _run_epochs(step, state, arrays, labels, rng, B, max_epochs,
     steps_per_epoch = n // B
     host_rng = np.random.default_rng(0)
     reached = None
+    first_epoch_loss = None
     for epoch in range(1, max_epochs + 1):
         perm = host_rng.permutation(n)[: steps_per_epoch * B]
         correct = jnp.zeros((), jnp.int32)
+        loss_sum = jnp.zeros((), jnp.float32)
         for s in range(steps_per_epoch):
             idx = jnp.asarray(perm[s * B : (s + 1) * B])
             batch = {k: jnp.take(v, idx, axis=0) for k, v in arrays.items()}
@@ -464,20 +466,24 @@ def _run_epochs(step, state, arrays, labels, rng, B, max_epochs,
             state, out = step(state, batch,
                               jax.random.fold_in(rng, epoch * 10_000 + s))
             correct = correct + jnp.sum(out["preds"] == batch["labels"])
+            loss_sum = loss_sum + out["loss"]
+        if epoch == 1:
+            first_epoch_loss = float(loss_sum) / steps_per_epoch
         if acc_target is not None and reached is None and \
                 int(correct) / (steps_per_epoch * B) >= acc_target:
             reached = epoch
             break
-    return state, reached
+    return state, reached, first_epoch_loss
 
 
 def _epochs_until(step, state, arrays, labels, rng, B, acc_target=0.99,
                   max_epochs=15):
-    """First 1-based epoch whose during-epoch train accuracy reaches
-    `acc_target`, or None."""
-    _, reached = _run_epochs(step, state, arrays, labels, rng, B,
-                             max_epochs, acc_target=acc_target)
-    return reached
+    """(first 1-based epoch whose during-epoch train accuracy reaches
+    `acc_target` or None, epoch-1 mean train loss)."""
+    _, reached, first_loss = _run_epochs(step, state, arrays, labels, rng,
+                                         B, max_epochs,
+                                         acc_target=acc_target)
+    return reached, first_loss
 
 
 def convergence_epochs(B=1024):
@@ -552,8 +558,8 @@ def convergence_epochs(B=1024):
         {"params": rng}, audio[:2], image[:2], train=False
     ))
     step = make_train_step(multimodal_task(model), donate=False)
-    scratch = _epochs_until(step, make_state(model, init_vars), arrays,
-                            labels, rng, B)
+    scratch, scratch_ep1_loss = _epochs_until(
+        step, make_state(model, init_vars), arrays, labels, rng, B)
 
     # -- monomodal pretrain of each encoder (train_monomodal.py:536) ------
     pretrained_parts = {}
@@ -575,8 +581,8 @@ def convergence_epochs(B=1024):
         )
         mono_step = make_train_step(mono_task, donate=False)
         mstate = make_state(mono, jax.device_get(mv))
-        mstate, _ = _run_epochs(mono_step, mstate, {mod: x}, labels, rng, B,
-                                max_epochs=4)
+        mstate, _, _ = _run_epochs(mono_step, mstate, {mod: x}, labels,
+                                   rng, B, max_epochs=4)
         got = jax.device_get(mstate.params)
         stats = jax.device_get(mstate.batch_stats) if mstate.batch_stats else {}
         pretrained_parts[mod] = (got.get("encoder", got), stats.get("encoder", {}))
@@ -588,12 +594,16 @@ def convergence_epochs(B=1024):
         pre_vars["params"][f"{mod}_encoder"] = enc_params
         if enc_stats:
             pre_vars["batch_stats"][f"{mod}_encoder"] = enc_stats
-    pretrained = _epochs_until(step, make_state(model, pre_vars), arrays,
-                               labels, rng, B)
+    pretrained, pre_ep1_loss = _epochs_until(
+        step, make_state(model, pre_vars), arrays, labels, rng, B)
     return {
         "convergence_data": "avmnist_generated",
         "epochs_to_99_scratch": scratch,
         "epochs_to_99_pretrained": pretrained,
+        # BASELINE.md row 3 (first-epoch loss, pretrained vs scratch:
+        # reference 0.5070 -> 0.2706), now driver-captured too
+        "first_epoch_loss_scratch": round(scratch_ep1_loss, 4),
+        "first_epoch_loss_pretrained": round(pre_ep1_loss, 4),
     }
 
 
