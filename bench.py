@@ -31,7 +31,7 @@ vs_baseline divides by the PyTorch-CPU reference-equivalent throughput
 measured on this machine by scripts/torch_cpu_baseline.py. MFU uses XLA's
 compiled-program FLOP count against the v5e bf16 peak (197 TFLOP/s).
 
-Measurement methodology (round 3): the shared tunnel chip's delivered
+Measurement methodology (round 5): the shared tunnel chip's delivered
 compute varies several-fold with co-tenant load (measured 33-190 TFLOP/s
 on the same 8192^2 bf16 matmul at different times of day), so:
 (a) every window's completion barrier is a data-dependent host fetch
@@ -40,12 +40,24 @@ on the same 8192^2 bf16 matmul at different times of day), so:
 (b) timing windows are SPREAD over ~2 minutes and each window is BRACKETED
     by canary measurements (mean of before/after): canary_w = achieved
     TFLOP/s of a large bf16 matmul at that moment, quiet chip ~170-190,
-(c) value_canary_normalized fits the proportional-share model
-    rate ≈ k * canary by least squares through the origin over all
-    windows and reports k * QUIET_CANARY — a driver-verifiable quiet-chip
-    estimate that does not depend on catching the chip idle, pools every
-    window (instead of trusting any single noisy ratio), and converges to
-    the raw measured rate as the chip approaches quiet.
+(c) value_canary_normalized is the DISPLACEMENT estimate of the quiet-chip
+    rate. Round-4 data proved the bracketing canary is blind to deliberate
+    self-load (calibration canaries 34.6/34.9/34.6 while rates moved), so
+    any rate~canary fit is unidentifiable from calibration; and the
+    round-5 study (scripts/contention_study.py) showed threaded self-load
+    barely displaces anything — PJRT execution within a client is FIFO, a
+    loader thread's matmuls queue behind the whole dispatched step stream.
+    Instead the calibration interleaves a KNOWN number m of canary-sized
+    matmuls into the main thread's own step stream and times tight
+    plain/mixed window pairs. TPU programs run to completion once
+    scheduled, so each matmul consumes a fixed device time
+    T_mm = 2n^3/QUIET_CANARY regardless of co-tenant load, giving the
+    co-tenant share directly:  (1-sigma) = m*T_mm / (W_mixed - W_plain)
+    and the quiet rate  R0 = steps*B / (W_plain * (1-sigma)).
+    scripts/contention_study2.py validated the estimator on the real chip:
+    share estimates agree to 0.3% across m in {30,60,120} and the implied
+    quiet MFU is physical (~0.93). The origin rate~canary fit is still
+    emitted (origin_fit_*) as legacy transparency.
 """
 
 import json
@@ -225,111 +237,68 @@ def quiet_rate_fit(rates, canaries, flops, B):
     }
 
 
-def affine_rate_fit(rates, canaries, flops, B, min_spread=25.0,
-                    n_natural=None):
-    """Two-parameter calibrated fit: rate ≈ a + b*canary.
+# device time of one canary-sized bf16 matmul: programs execute to
+# completion once scheduled, so this is contention-independent — the unit
+# of "known displaced work" the calibration injects
+CANARY_N = 8192
+T_MM_DEV_S = 2 * CANARY_N**3 / (QUIET_CANARY_TFLOPS * 1e12)  # ~5.94 ms
 
-    The through-origin model (quiet_rate_fit) systematically OVERSHOOTS on
-    quiet extrapolation: the pure-MXU canary degrades faster under
-    contention than the mixed train step, so rate/canary grows as canary
-    shrinks and the origin slope is an upper bound (round 3: uncapped
-    extrapolation exceeded the observed quiet rate by ~7% and clipped at
-    the MFU-1.0 cap). Fitting an intercept absorbs exactly that curvature
-    to first order. Needs canary SPREAD to be identified — bench.py
-    generates it deliberately by self-injecting competing matmul load at
-    several duty cycles (see _SelfLoad) instead of hoping co-tenant load
-    varies during the run. Falls back to the origin fit when the windows
-    don't span ≥ `min_spread` TFLOPS or the slope comes out non-positive —
-    and that fallback uses ONLY the first `n_natural` (uncalibrated)
-    windows: self-load points have the inflated rate/canary ratio the
-    origin model is most wrong about, and must not feed it.
-    """
-    n = len(rates)
-    nat = n if n_natural is None else n_natural
-    origin = quiet_rate_fit(rates[:nat], canaries[:nat], flops, B)
-    spread = max(canaries) - min(canaries)
-    if n < 3 or spread < min_spread:
-        return {**origin, "model": "origin", "spread": spread}
-    mc = sum(canaries) / n
-    mr = sum(rates) / n
-    var = sum((c - mc) ** 2 for c in canaries)
-    cov = sum((c - mc) * (r - mr) for c, r in zip(canaries, rates))
-    b = cov / var
-    a = mr - b * mc
-    if b <= 0:
-        return {**origin, "model": "origin", "spread": spread}
-    uncapped = a + b * QUIET_CANARY_TFLOPS
-    # quiet is never slower than the best window actually observed
-    uncapped = max(uncapped, max(rates))
-    normalized = uncapped
+
+def displacement_estimate(pairs, m, steps, B, flops, t_mm=T_MM_DEV_S):
+    """Quiet-chip rate from plain/mixed window pairs (pure host math).
+
+    Each pair is (w_plain, w_mixed): wall seconds of `steps` train steps,
+    then `steps` train steps with `m` canary matmuls interleaved into the
+    SAME dispatch stream, measured back-to-back so the co-tenant share
+    sigma is common. The device executes our client's programs exclusively
+    and FIFO, so the extra wall time is exactly the m matmuls' device time
+    divided by our share:
+        (1 - sigma) = m * t_mm / (w_mixed - w_plain)
+        R_quiet     = steps * B / (w_plain * (1 - sigma))
+    Validated on the real chip by scripts/contention_study2.py: share
+    estimates agree to 0.3% across m in {30, 60, 120}, implied quiet MFU
+    ~0.93 (physical). Pairs with w_mixed <= w_plain (co-tenant burst mid-
+    pair) are dropped; returns None if none survive."""
+    shares, quiet_rates = [], []
+    for w_plain, w_mixed in pairs:
+        if w_mixed <= w_plain:
+            continue
+        share = m * t_mm / (w_mixed - w_plain)
+        if not 0.0 < share <= 1.0:
+            continue
+        shares.append(share)
+        quiet_rates.append(steps * B / (w_plain * share))
+    if not quiet_rates:
+        return None
+    quiet = statistics.median(quiet_rates)
+    uncapped = quiet
+    capped = False
     if flops:
-        normalized = min(normalized, V5E_PEAK_FLOPS * B / flops)
-    ss_res = sum(
-        (r - (a + b * c)) ** 2 for r, c in zip(rates, canaries)
-    )
-    ss_tot = sum((r - mr) ** 2 for r in rates)
-    r2 = 1.0 - ss_res / ss_tot if ss_tot else 0.0
+        cap = V5E_PEAK_FLOPS * B / flops
+        if quiet > cap:
+            quiet, capped = cap, True
     return {
-        "normalized": normalized,
+        "normalized": quiet,
         "uncapped": uncapped,
-        "capped": normalized < uncapped,
-        "r2": r2,
-        "model": "affine",
-        "spread": spread,
-        "slope": b,
-        "intercept": a,
+        "capped": capped,
+        "model": "displacement",
+        "share_median": statistics.median(shares),
+        "shares": shares,
+        "quiet_rates": quiet_rates,
+        "pairs": [(round(p, 4), round(x, 4)) for p, x in pairs],
+        "m": m,
     }
 
 
-class _SelfLoad:
-    """Background thread issuing competing bf16 matmuls at a duty cycle.
-
-    Deliberate, known self-contention: while a calibration window runs,
-    the loader time-slices the chip with the measured train step, pushing
-    the bracketing canary DOWN by a controlled amount — producing the
-    canary spread the affine fit needs even when co-tenant load happens
-    to be flat for the whole bench run."""
-
-    def __init__(self, duty: float, n: int = 8192):
-        import threading
-
-        self.duty = duty
-        self.n = n
-        self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._run, daemon=True)
-
-    def _run(self):
-        import jax
-
-        canary_tflops(reps=1, n=self.n)  # ensure compiled + resident
-        a, f = _CANARY_STATE[self.n]
-        while not self._stop.is_set():
-            t0 = time.perf_counter()
-            jax.block_until_ready(f(a))
-            dt = time.perf_counter() - t0
-            if self.duty < 1.0:
-                self._stop.wait(dt * (1.0 - self.duty) / self.duty)
-
-    def __enter__(self):
-        self._thread.start()
-        return self
-
-    def __exit__(self, *exc):
-        # After _stop is set the thread issues no NEW work — at worst it is
-        # blocked on ONE in-flight matmul. The tunnel can stall minutes, so
-        # wait generously; if it still hasn't drained, flag it so the
-        # caller can discard calibration points measured after the leak.
-        self._stop.set()
-        self._thread.join(timeout=120)
-        self.leaked = self._thread.is_alive()
-
-
 def measure(builder, B, precision, windows=8, steps=60, warmup=10,
-            spread_s=18.0, calibration_duties=()):
+            spread_s=18.0, disp_pairs=0, disp_m=60, disp_steps=None):
     """Timed windows spread over ~minutes, one canary per window.
 
-    Returns dict with best/median raw rate, canary-normalized rate, MFU
-    (raw + normalized), and the per-window canary list."""
+    With disp_pairs > 0, follows the natural windows with that many
+    back-to-back plain/mixed window pairs for the displacement calibration
+    (see displacement_estimate). Returns dict with best/median raw rate,
+    quiet-chip normalized rate, MFU (raw + normalized), and the
+    per-window canary list."""
     import jax
     import jax.numpy as jnp
 
@@ -386,19 +355,42 @@ def measure(builder, B, precision, windows=8, steps=60, warmup=10,
             time.sleep(spread_s)
             c_prev = canary_tflops(reps=1)
 
-    # calibration windows under deliberate self-load (excluded from the
-    # raw best/median; used only as extra (canary, rate) fit points)
-    cal_rates, cal_canaries = [], []
-    for j, duty in enumerate(calibration_duties):
-        with _SelfLoad(duty):
-            c_prev = canary_tflops(reps=1)
-            r, c, c_prev = timed_window(windows + j, max(steps // 2, 10),
-                                        c_prev)
-        cal_rates.append(r)
-        cal_canaries.append(c)
+    # displacement calibration: tight plain/mixed window pairs (excluded
+    # from the raw best/median — the mixed windows deliberately carry
+    # extra injected work)
+    disp = None
+    if disp_pairs:
+        S = disp_steps or steps
+        canary_tflops(reps=1)  # ensure the canary program is resident
+        a_mm, f_mm = _CANARY_STATE[CANARY_N]
 
-    fit = affine_rate_fit(rates + cal_rates, canaries + cal_canaries,
-                          flops, B, n_natural=len(rates))
+        def disp_window(m, tag):
+            outs = []
+            every = S / m if m else float("inf")
+            nxt = every
+            t0 = time.perf_counter()
+            for k in range(S):
+                nonlocal_state[0], _ = step(
+                    nonlocal_state[0], batch,
+                    jax.random.fold_in(rng, 777_000 + tag * 1000 + k))
+                while k + 1 >= nxt:
+                    outs.append(f_mm(a_mm))
+                    nxt += every
+            for x in outs:
+                jax.block_until_ready(x)
+            barrier(nonlocal_state[0])
+            return time.perf_counter() - t0
+
+        disp_window(4, 99)  # warm the mixed dispatch path
+        pair_times = []
+        for rep in range(disp_pairs):
+            w_plain = disp_window(0, 2 * rep)
+            w_mixed = disp_window(disp_m, 2 * rep + 1)
+            pair_times.append((w_plain, w_mixed))
+        disp = displacement_estimate(pair_times, disp_m, S, B, flops)
+
+    origin = quiet_rate_fit(rates, canaries, flops, B)
+    fit = disp if disp is not None else {**origin, "model": "origin"}
     normalized = fit["normalized"]
     best = max(rates)
     # per-chip MFU: rates are samples/sec/chip and flops is the program's
@@ -420,16 +412,14 @@ def measure(builder, B, precision, windows=8, steps=60, warmup=10,
         "normalized": normalized,
         "normalized_uncapped": fit["uncapped"],
         "normalized_capped": fit["capped"],
-        "fit_r2": fit["r2"],
         "fit_model": fit.get("model", "origin"),
-        "fit_canary_spread": fit.get("spread"),
+        "disp": disp,
+        "origin_fit": origin,
         "mfu": mfu,
         "mfu_normalized": mfu_norm,
         "canary_median": statistics.median(canaries),
         "canaries": canaries,
         "rates": rates,
-        "cal_rates": cal_rates,
-        "cal_canaries": cal_canaries,
         "quiet_window_rate": quiet_window[0] if quiet_window else None,
         "quiet_window_canary": quiet_window[1] if quiet_window else None,
         "flops": flops,
@@ -631,6 +621,14 @@ def quiet_captures():
                     value = entry["bench"]["value"]
                 except (KeyError, TypeError, json.JSONDecodeError):
                     continue
+                # config provenance: a capture recorded under a different
+                # batch/precision is not evidence for the current headline
+                if entry["bench"].get("batch", DEFAULT_BATCH) != DEFAULT_BATCH:
+                    continue
+                if entry["bench"].get(
+                    "precision", DEFAULT_PRECISION
+                ) != DEFAULT_PRECISION:
+                    continue
                 if best is None or value > best["value_quiet_observed"]:
                     best = {
                         "value_quiet_observed": value,
@@ -678,13 +676,13 @@ def main() -> None:
         # disagree with the sweep winner just printed above
         return
 
-    # self-load duty cycles generate canary spread for the affine
-    # calibration even when co-tenant load is flat during the run
+    # displacement calibration: 3 plain/mixed pairs, m=60 injected matmuls
+    # (validated m-invariant by scripts/contention_study2.py)
     m = measure(build, DEFAULT_BATCH, DEFAULT_PRECISION,
-                calibration_duties=(0.25, 0.6, 1.0))
+                disp_pairs=3, disp_m=60)
     mosi_B = 32
     mm = measure(build_mosi, mosi_B, DEFAULT_PRECISION, windows=4, steps=50,
-                 spread_s=4.0)
+                 spread_s=4.0, disp_pairs=2, disp_m=30, disp_steps=100)
 
     conv = {}
     if "--no-convergence" not in sys.argv:
@@ -702,19 +700,31 @@ def main() -> None:
                 "vs_baseline": round(m["best"] / TORCH_CPU_SAMPLES_PER_SEC, 2),
                 "value_median": round(m["median"], 1),
                 "value_canary_normalized": round(m["normalized"], 1),
-                # transparency for the normalization: the raw through-origin
-                # extrapolation before the MFU-1.0 cap, whether the cap
-                # engaged, and the fit's uncentered R^2 over the windows
+                # quiet-chip estimate transparency: the uncapped value,
+                # whether the MFU-1.0 cap engaged, which model produced it
+                # (displacement when the calibration pairs survived,
+                # origin rate~canary fit as fallback), and the
+                # displacement evidence itself
                 "value_canary_normalized_uncapped": round(
                     m["normalized_uncapped"], 1
                 ),
                 "canary_cap_engaged": m["normalized_capped"],
-                "canary_fit_r2": round(m["fit_r2"], 4),
                 "canary_fit_model": m["fit_model"],
-                "canary_fit_spread_tflops": (
-                    round(m["fit_canary_spread"], 1)
-                    if m["fit_canary_spread"] is not None else None
-                ),
+                **({
+                    "displacement_share": round(m["disp"]["share_median"], 4),
+                    "displacement_shares": [
+                        round(s, 4) for s in m["disp"]["shares"]
+                    ],
+                    "displacement_m": m["disp"]["m"],
+                    "displacement_window_pairs_s": m["disp"]["pairs"],
+                    "displacement_quiet_rates": [
+                        round(r, 1) for r in m["disp"]["quiet_rates"]
+                    ],
+                } if m["disp"] else {}),
+                # legacy origin-fit transparency (rate ~ canary through the
+                # origin over the natural windows)
+                "origin_fit_normalized": round(m["origin_fit"]["normalized"], 1),
+                "origin_fit_r2": round(m["origin_fit"]["r2"], 4),
                 # direct quiet evidence, when available: best raw window
                 # that ran at canary>=150 this run, and the best capture
                 # scripts/quiet_bench_probe.py ever recorded
@@ -739,14 +749,13 @@ def main() -> None:
                 ),
                 "canary_tflops": round(m["canary_median"], 1),
                 "quiet_canary_tflops": QUIET_CANARY_TFLOPS,
-                # full evidence: per-window (rate, canary) pairs, then the
-                # self-load calibration pairs the affine fit also saw
+                # full evidence: per-window (rate, canary) pairs
                 "window_rates": [round(r, 1) for r in m["rates"]],
                 "window_canaries": [round(c, 1) for c in m["canaries"]],
-                "calibration_rates": [round(r, 1) for r in m["cal_rates"]],
-                "calibration_canaries": [
-                    round(c, 1) for c in m["cal_canaries"]
-                ],
+                # capture provenance: quiet_captures() only merges probe
+                # entries recorded at this same config
+                "batch": DEFAULT_BATCH,
+                "precision": DEFAULT_PRECISION,
                 "mosi_uttfusion_step_ms": round(1000.0 * mosi_B / mm["best"], 3),
                 "mosi_uttfusion_step_ms_canary_normalized": round(
                     1000.0 * mosi_B / mm["normalized"], 3

@@ -60,58 +60,67 @@ def test_mfu_cap_applies():
     assert out["uncapped"] == pytest.approx(cap * 5, rel=1e-6)
 
 
-def test_affine_fit_matches_origin_on_proportional_data():
-    quiet = 250_000.0
-    fracs = [0.2, 0.4, 0.6, 0.8]
-    canaries = [bench.QUIET_CANARY_TFLOPS * f for f in fracs]
-    rates = [quiet * f for f in fracs]
-    out = bench.affine_rate_fit(rates, canaries, flops=None, B=1024)
-    assert out["model"] == "affine"
-    assert out["normalized"] == pytest.approx(quiet, rel=1e-9)
-    assert out["intercept"] == pytest.approx(0.0, abs=1e-6)
+def test_displacement_recovers_known_share():
+    # synthetic chip at share (1-sigma)=0.25, quiet step time 4 ms:
+    # W_plain = S*T_step/share; W_mixed adds m*t_mm/share
+    S, B, m = 60, 1024, 60
+    share = 0.25
+    t_step = 0.004
+    w_plain = S * t_step / share
+    w_mixed = w_plain + m * bench.T_MM_DEV_S / share
+    out = bench.displacement_estimate(
+        [(w_plain, w_mixed)] * 3, m, S, B, flops=None)
+    assert out["model"] == "displacement"
+    assert out["share_median"] == pytest.approx(share, rel=1e-9)
+    assert out["normalized"] == pytest.approx(B / t_step, rel=1e-9)
+    assert not out["capped"]
 
 
-def test_affine_fit_corrects_origin_overshoot_on_concave_data():
-    # mixed (non-pure-MXU) step degrades LESS than the canary under
-    # contention: rate = a + b*canary with a>0. The origin fit overshoots
-    # on quiet extrapolation; the affine fit recovers the truth.
-    a, b = 40_000.0, 1_000.0
-    canaries = [30.0, 60.0, 90.0, 120.0]
-    rates = [a + b * c for c in canaries]
-    truth = a + b * bench.QUIET_CANARY_TFLOPS
-    affine = bench.affine_rate_fit(rates, canaries, flops=None, B=1024)
-    origin = bench.quiet_rate_fit(rates, canaries, flops=None, B=1024)
-    assert affine["normalized"] == pytest.approx(truth, rel=1e-9)
-    assert origin["normalized"] > truth  # the round-3 failure mode
-    assert affine["r2"] == pytest.approx(1.0)
+def test_displacement_is_m_invariant():
+    # same chip, different injected counts -> identical estimates (the
+    # property contention_study2.py verified on the real chip to 0.3%)
+    S, B = 60, 1024
+    share, t_step = 0.2, 0.005
+    outs = []
+    for m in (30, 60, 120):
+        w_plain = S * t_step / share
+        w_mixed = w_plain + m * bench.T_MM_DEV_S / share
+        outs.append(bench.displacement_estimate(
+            [(w_plain, w_mixed)], m, S, B, flops=None))
+    vals = [o["normalized"] for o in outs]
+    assert max(vals) == pytest.approx(min(vals), rel=1e-9)
 
 
-def test_affine_fit_falls_back_without_spread():
-    canaries = [50.0, 52.0, 51.0, 50.5]  # spread < 25 TFLOPS
-    rates = [100_000.0, 104_000.0, 102_000.0, 101_000.0]
-    out = bench.affine_rate_fit(rates, canaries, flops=None, B=1024)
-    assert out["model"] == "origin"
-    assert out["normalized"] == pytest.approx(
-        bench.quiet_rate_fit(rates, canaries, None, 1024)["normalized"]
-    )
+def test_displacement_drops_degenerate_pairs():
+    # a co-tenant burst during the plain window can make w_mixed <= w_plain
+    # or imply share > 1; both pairs must be dropped, and with none left
+    # the estimator returns None (caller falls back to the origin fit)
+    S, B, m = 60, 1024, 60
+    assert bench.displacement_estimate([(2.0, 1.9)], m, S, B, None) is None
+    # share > 1: w_mixed - w_plain smaller than the matmuls' device time
+    too_fast = (1.0, 1.0 + 0.5 * m * bench.T_MM_DEV_S)
+    assert bench.displacement_estimate([too_fast], m, S, B, None) is None
+    # a good pair among bad ones survives
+    share, t_step = 0.5, 0.004
+    good = (S * t_step / share,
+            S * t_step / share + m * bench.T_MM_DEV_S / share)
+    out = bench.displacement_estimate(
+        [(2.0, 1.9), good], m, S, B, flops=None)
+    assert out["share_median"] == pytest.approx(share, rel=1e-9)
 
 
-def test_affine_fit_never_below_best_observed_window():
-    # downward-sloping noise must not predict quiet SLOWER than observed
-    canaries = [100.0, 150.0, 60.0]
-    rates = [200_000.0, 205_000.0, 120_000.0]
-    out = bench.affine_rate_fit(rates, canaries, flops=None, B=1024)
-    assert out["normalized"] >= 205_000.0
-
-
-def test_affine_fit_respects_mfu_cap():
-    flops, B = 1e9, 1024
+def test_displacement_respects_mfu_cap():
+    flops, B, S, m = 1e9, 1024, 60, 60
     cap = bench.V5E_PEAK_FLOPS * B / flops
-    canaries = [30.0, 90.0, 150.0]
-    rates = [cap * 0.5, cap * 1.5, cap * 2.5]
-    out = bench.affine_rate_fit(rates, canaries, flops=flops, B=B)
+    # implied quiet rate 2x the cap -> capped, flagged
+    share = 0.5
+    t_step = B / (2 * cap)
+    w_plain = S * t_step / share
+    w_mixed = w_plain + m * bench.T_MM_DEV_S / share
+    out = bench.displacement_estimate([(w_plain, w_mixed)], m, S, B, flops)
     assert out["normalized"] == pytest.approx(cap)
     assert out["capped"]
+    assert out["uncapped"] == pytest.approx(2 * cap, rel=1e-9)
 
 
 def test_quiet_captures_picks_best_entry(tmp_path, monkeypatch):
@@ -140,6 +149,37 @@ def test_quiet_captures_picks_best_entry(tmp_path, monkeypatch):
     assert out["quiet_observed_mfu"] == 0.95
 
 
+def test_quiet_captures_skips_mismatched_config(tmp_path, monkeypatch):
+    # a capture recorded under a different batch/precision is not evidence
+    # for the current headline config and must be skipped
+    import json as _json
+    import os as _os
+
+    lines = [
+        {"ts": "t1", "rc": 0,
+         "bench": {"value": 999999.0, "mfu": 0.99,
+                   "batch": bench.DEFAULT_BATCH // 2,
+                   "precision": bench.DEFAULT_PRECISION}},
+        {"ts": "t2", "rc": 0,
+         "bench": {"value": 888888.0, "mfu": 0.98,
+                   "batch": bench.DEFAULT_BATCH, "precision": "f32"}},
+        {"ts": "t3", "rc": 0,
+         "bench": {"value": 250000.0, "mfu": 0.9,
+                   "batch": bench.DEFAULT_BATCH,
+                   "precision": bench.DEFAULT_PRECISION}},
+    ]
+    with open(tmp_path / "QUIET_CAPTURES.jsonl", "w") as f:
+        for e in lines:
+            f.write(_json.dumps(e) + "\n")
+    monkeypatch.setattr(
+        _os.path, "dirname", lambda p, _d=_os.path.dirname: str(tmp_path)
+        if p == bench.__file__ else _d(p),
+    )
+    out = bench.quiet_captures()
+    assert out["value_quiet_observed"] == 250000.0
+    assert out["quiet_observed_ts"] == "t3"
+
+
 def test_quiet_captures_empty_without_files(tmp_path, monkeypatch):
     import os as _os
 
@@ -148,19 +188,3 @@ def test_quiet_captures_empty_without_files(tmp_path, monkeypatch):
         if p == bench.__file__ else _d(p),
     )
     assert bench.quiet_captures() == {}
-
-
-def test_affine_fallback_excludes_calibration_points():
-    # natural windows all near one canary (no spread); self-load points at
-    # LOW canary with inflated rate/canary ratio. The origin fallback must
-    # be fit over the natural windows only — including the calibration
-    # points would inflate the extrapolation (the round-3 failure mode).
-    nat_rates, nat_canaries = [60_000.0, 61_000.0, 59_500.0], [30.0, 31.0, 30.5]
-    cal_rates, cal_canaries = [55_000.0], [20.0]  # ratio 2750 vs natural ~1970
-    out = bench.affine_rate_fit(
-        nat_rates + cal_rates, nat_canaries + cal_canaries,
-        flops=None, B=1024, n_natural=len(nat_rates),
-    )
-    assert out["model"] == "origin"  # spread 11 < 25
-    expected = bench.quiet_rate_fit(nat_rates, nat_canaries, None, 1024)
-    assert out["normalized"] == pytest.approx(expected["normalized"])
