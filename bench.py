@@ -476,13 +476,18 @@ def _epochs_until(step, state, arrays, labels, rng, B, acc_target=0.99,
     return reached, first_loss
 
 
-def convergence_epochs(B=1024):
+def convergence_epochs(B=1024, max_epochs=15, pretrain_epochs=4,
+                       n_samples=None):
     """BASELINE.md's third tracked metric: AVMNIST epochs-to-99% train
     accuracy, scratch vs pretrained-encoder initialization (reference
-    README.md:28 — 8 vs 2 epochs). Runs the north-star flagship model on
-    the generated AVMNIST data (DATA/avmnist, same corpus the recorded
-    pipelines train on); encoders are pretrained monomodally in-process
-    (reference train_monomodal.py flow) before the pretrained variant."""
+    README.md:28 — 8 vs 2 epochs, measured at the reference's B=128
+    regime, configs/avmnist/centralised/train_avmnist_resnet.yaml:53).
+    Runs the north-star flagship model on the generated AVMNIST data
+    (DATA/avmnist, same corpus the recorded pipelines train on); encoders
+    are pretrained monomodally in-process (reference train_monomodal.py
+    flow) before the pretrained variant. main() runs this at BOTH the
+    throughput-sweep batch (1024) and the reference's B=128 so the metric
+    has the dynamic range to express the published 4x gap."""
     import os
 
     import jax
@@ -505,10 +510,20 @@ def convergence_epochs(B=1024):
     ds = AVMNIST(csv, split="train", selected_patterns=["ai"])
     # whole split resident in HBM once — per-step host->device transfers
     # would ride the tunnel 15 MB at a time
-    audio = jnp.asarray(np.asarray(ds.arrays[Modality.AUDIO],
-                                   np.float32))[..., None]
-    image = jnp.asarray(np.asarray(ds.arrays[Modality.IMAGE], np.float32))
-    labels = jnp.asarray(np.asarray(ds.labels, np.int64))
+    audio_np = np.asarray(ds.arrays[Modality.AUDIO], np.float32)
+    image_np = np.asarray(ds.arrays[Modality.IMAGE], np.float32)
+    labels_np = np.asarray(ds.labels, np.int64)
+    if n_samples and n_samples < labels_np.shape[0]:
+        # stride slicing over the fixed CSV order — the same rule
+        # scripts/torch_cpu_baseline.py --convergence uses, so the torch
+        # ablation trains on the identical subset
+        stride = labels_np.shape[0] // n_samples
+        sel = np.arange(0, labels_np.shape[0], stride)[:n_samples]
+        audio_np, image_np, labels_np = (
+            audio_np[sel], image_np[sel], labels_np[sel])
+    audio = jnp.asarray(audio_np)[..., None]
+    image = jnp.asarray(image_np)
+    labels = jnp.asarray(labels_np)
     arrays = {"audio": audio, "image": image}
     rng = jax.random.PRNGKey(0)
 
@@ -549,7 +564,8 @@ def convergence_epochs(B=1024):
     ))
     step = make_train_step(multimodal_task(model), donate=False)
     scratch, scratch_ep1_loss = _epochs_until(
-        step, make_state(model, init_vars), arrays, labels, rng, B)
+        step, make_state(model, init_vars), arrays, labels, rng, B,
+        max_epochs=max_epochs)
 
     # -- monomodal pretrain of each encoder (train_monomodal.py:536) ------
     pretrained_parts = {}
@@ -572,7 +588,7 @@ def convergence_epochs(B=1024):
         mono_step = make_train_step(mono_task, donate=False)
         mstate = make_state(mono, jax.device_get(mv))
         mstate, _, _ = _run_epochs(mono_step, mstate, {mod: x}, labels,
-                                   rng, B, max_epochs=4)
+                                   rng, B, max_epochs=pretrain_epochs)
         got = jax.device_get(mstate.params)
         stats = jax.device_get(mstate.batch_stats) if mstate.batch_stats else {}
         pretrained_parts[mod] = (got.get("encoder", got), stats.get("encoder", {}))
@@ -585,7 +601,8 @@ def convergence_epochs(B=1024):
         if enc_stats:
             pre_vars["batch_stats"][f"{mod}_encoder"] = enc_stats
     pretrained, pre_ep1_loss = _epochs_until(
-        step, make_state(model, pre_vars), arrays, labels, rng, B)
+        step, make_state(model, pre_vars), arrays, labels, rng, B,
+        max_epochs=max_epochs)
     return {
         "convergence_data": "avmnist_generated",
         "epochs_to_99_scratch": scratch,
@@ -690,6 +707,23 @@ def main() -> None:
             conv = convergence_epochs()
         except Exception as e:  # bench must never crash the driver run
             conv = {"convergence_data": "error", "convergence_error": repr(e)[:200]}
+        # the reference's own regime (B=128, README.md:28 anchor 8 vs 2).
+        # At B=1024 on the full 24k index scratch converges in ~3 epochs
+        # and the metric has no dynamic range. Root cause (ROUND5): the
+        # reference never shipped its train_subset.csv; on a 6k stride
+        # subset of the same real tensors the first-epoch losses land on
+        # the published values (0.62/0.27 vs published 0.51/0.27) and the
+        # convergence gap expresses (6 vs 3 epochs) — the published 8-vs-2
+        # is a property of their smaller unpublished subset, not of the
+        # framework (torch ablation: scripts/torch_cpu_baseline.py
+        # --convergence, same subset, RESULTS.md round-5 section).
+        try:
+            c128 = convergence_epochs(B=128, n_samples=6000)
+            conv.update({f"{k}_b128": v for k, v in c128.items()
+                         if k != "convergence_data"})
+            conv["convergence_b128_n_samples"] = 6000
+        except Exception as e:
+            conv["convergence_b128_error"] = repr(e)[:200]
 
     print(
         json.dumps(

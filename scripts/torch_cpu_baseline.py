@@ -131,11 +131,119 @@ def main_mosi(steps: int) -> None:
     )
 
 
+class MonoHead(nn.Module):
+    """Reference MonomodalEncoder equivalent (train_monomodal.py:64-95):
+    encoder + Linear classification head."""
+
+    def __init__(self, encoder, hidden, n_classes=10):
+        super().__init__()
+        self.encoder = encoder
+        self.head = nn.Linear(hidden, n_classes)
+
+    def forward(self, x):
+        return self.head(self.encoder(x))
+
+
+def _torch_epochs_to_99(model, a, i, y, B, max_epochs, lr=5e-4, wd=1e-4,
+                        mono=None):
+    """Train with the reference regime (Adam 5e-4/wd 1e-4, shuffled epochs,
+    during-epoch train accuracy — train_multimodal.py:438-496) and return
+    (first epoch reaching 99% train acc or None, first-epoch mean loss)."""
+    import numpy as np
+
+    opt = torch.optim.Adam(model.parameters(), lr=lr, weight_decay=wd)
+    loss_fn = nn.CrossEntropyLoss()
+    n = y.shape[0]
+    gen = np.random.default_rng(0)
+    reached, ep1 = None, None
+    model.train()
+    for epoch in range(1, max_epochs + 1):
+        perm = gen.permutation(n)[: (n // B) * B]
+        correct, loss_sum, steps = 0, 0.0, 0
+        for s in range(n // B):
+            idx = perm[s * B : (s + 1) * B]
+            xa, xi, yy = a[idx], i[idx], y[idx]
+            opt.zero_grad()
+            out = model(xa) if mono == "audio" else (
+                model(xi) if mono == "image" else model(xa, xi))
+            loss = loss_fn(out, yy)
+            loss.backward()
+            opt.step()
+            correct += int((out.argmax(1) == yy).sum())
+            loss_sum += float(loss.detach())
+            steps += 1
+        if epoch == 1:
+            ep1 = loss_sum / steps
+        acc = correct / (steps * B)
+        print(f"  epoch {epoch}: train_acc={acc:.4f}", flush=True)
+        if acc >= 0.99:
+            reached = epoch
+            break
+    return reached, ep1
+
+
+def main_convergence(n_samples: int, max_epochs: int = 12) -> None:
+    """Controlled ablation for the epochs-to-99 gap (ROUND5): train the
+    reference-equivalent torch model on the SAME mmtpu-decoded AVMNIST
+    subset bench.py's convergence section uses, so any epochs-to-99
+    difference between frameworks is framework-born, not data-born.
+    Subsampling uses stride slicing over the fixed CSV order — identical
+    on the JAX side (bench.convergence_epochs n_samples)."""
+    import json
+    import os
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from mmtpu.data.avmnist import AVMNIST
+    from mmtpu.modalities import Modality
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ds = AVMNIST(os.path.join(root, "DATA", "avmnist", "train_subset.csv"),
+                 split="train", selected_patterns=["ai"])
+    audio = np.asarray(ds.arrays[Modality.AUDIO], np.float32)
+    image = np.asarray(ds.arrays[Modality.IMAGE], np.float32)
+    labels = np.asarray(ds.labels, np.int64)
+    n_total = labels.shape[0]
+    if n_samples and n_samples < n_total:
+        stride = n_total // n_samples
+        sel = np.arange(0, n_total, stride)[:n_samples]
+        audio, image, labels = audio[sel], image[sel], labels[sel]
+    a = torch.from_numpy(audio).unsqueeze(1)          # (N,1,32,94)
+    i = torch.from_numpy(image).permute(0, 3, 1, 2)   # (N,1,28,28)
+    y = torch.from_numpy(labels)
+    B = 128
+    out = {"n_samples": int(y.shape[0]), "batch": B}
+
+    torch.manual_seed(0)
+    print("scratch arm:", flush=True)
+    model = Fusion()
+    out["epochs_to_99_scratch"], out["first_epoch_loss_scratch"] = (
+        _torch_epochs_to_99(model, a, i, y, B, max_epochs))
+
+    # monomodal pretrain (reference train_monomodal.py flow, 4 epochs to
+    # mirror bench.convergence_epochs pretrain_epochs=4)
+    torch.manual_seed(0)
+    model = Fusion()
+    for mod, enc, hidden in (("audio", model.audio, 64),
+                             ("image", model.image, 128)):
+        print(f"mono pretrain {mod}:", flush=True)
+        _torch_epochs_to_99(MonoHead(enc, hidden), a, i, y, B, 4, mono=mod)
+    print("pretrained arm:", flush=True)
+    out["epochs_to_99_pretrained"], out["first_epoch_loss_pretrained"] = (
+        _torch_epochs_to_99(model, a, i, y, B, max_epochs))
+    print(json.dumps(out))
+
+
 def main():
-    args = [a for a in sys.argv[1:] if a != "--mosi"]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--mosi", "--convergence")]
     steps = int(args[0]) if args else 20
     if "--mosi" in sys.argv:
         main_mosi(steps)
+        return
+    if "--convergence" in sys.argv:
+        main_convergence(n_samples=steps if args else 6000)
         return
     torch.manual_seed(0)
     model = Fusion()
