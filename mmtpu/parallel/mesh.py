@@ -74,6 +74,23 @@ def get_default_mesh() -> Mesh:
     return _default_mesh
 
 
+def put_global(x: Any, sharding: NamedSharding) -> jax.Array:
+    """device_put that also works on a multi-process mesh.
+
+    Single-process: plain jax.device_put. Multi-process (after
+    jax.distributed.initialize): a mesh spans devices this process cannot
+    address, so build the global array from a callback — each process
+    materializes only its addressable shards. The caller must hold the
+    FULL global value (the loaders are deterministic per epoch, so every
+    process computes the same global batch and keeps its slice; no
+    cross-host data exchange happens here).
+    """
+    x = np.asarray(x)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
 def batch_sharding(mesh: Optional[Mesh] = None, ndim: int = 2) -> NamedSharding:
     """Shard dim 0 (batch) over the data axis, replicate the rest."""
     mesh = mesh or get_default_mesh()
@@ -99,13 +116,13 @@ def shard_batch(batch: Dict[str, Any], mesh: Optional[Mesh] = None) -> Dict[str,
     def _put(x):
         x = np.asarray(x)
         if x.ndim == 0:
-            return jax.device_put(x, replicate(mesh))
+            return put_global(x, replicate(mesh))
         if x.shape[0] % dp:
             raise ValueError(
                 f"batch dim {x.shape[0]} not divisible by data_parallel={dp}"
                 " — pick a batch_size that is a multiple of the data-axis"
                 " size (or lower --data-parallel)"
             )
-        return jax.device_put(x, batch_sharding(mesh, ndim=x.ndim))
+        return put_global(x, batch_sharding(mesh, ndim=x.ndim))
 
     return jax.tree_util.tree_map(_put, batch)

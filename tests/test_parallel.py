@@ -218,3 +218,21 @@ def test_dp_tp_step_matches_single_device():
     ref_acc = float(np.mean(np.asarray(ref_eval["preds"])
                             == np.asarray(batch["labels"])))
     assert acc == pytest.approx(ref_acc)
+
+
+def test_multihost_mesh_parity():
+    """The mesh stack must survive multiple PROCESSES, not just multiple
+    devices (SURVEY §5.8): 2 subprocesses x 4 virtual CPU devices joined
+    by jax.distributed (gloo collectives) must produce the same loss and
+    replicated-param checksum as 1 process x 8 devices at rtol 2e-5.
+    Runs in subprocesses — this process's backend is untouched."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts"))
+    import multihost_dryrun
+
+    msg = multihost_dryrun.run(timeout=540.0)
+    assert msg.startswith("dryrun_multihost OK")
