@@ -284,8 +284,15 @@ def main() -> int:
                          "chip — remote compile service (~20-40s per novel "
                          "program) and fast steps, but shares the tunnel")
     ap.add_argument("--resume", action="store_true",
-                    help="skip configs already ok in an existing report")
+                    help="skip configs already ok in an existing report "
+                         "(only rows that carry device provenance resume; "
+                         "pre-round-5 rows without it re-run)")
+    ap.add_argument("--lane", default=None,
+                    help="lane label stamped into every row (defaults to "
+                         "the --device value)")
     args = ap.parse_args()
+    lane = args.lane or args.device
+    host = __import__("platform").node()
 
     ws = Path(args.workspace)
     (ws / "logs").mkdir(parents=True, exist_ok=True)
@@ -314,7 +321,11 @@ def main() -> int:
                     for r in json.loads(Path(args.report).read_text())}
     prior: dict[str, dict] = {}
     if args.resume:
-        prior = {k: r for k, r in existing.items() if r["status"] == "ok"}
+        # device-less rows (pre-round-5 reports) are NOT resumable: the
+        # whole point of provenance is that every ok row proves where it
+        # ran, so legacy rows re-run under a stamped lane
+        prior = {k: r for k, r in existing.items()
+                 if r["status"] == "ok" and r.get("device")}
 
     def write_report(results):
         # Lanes may share a --report: re-read the file under an exclusive
@@ -380,6 +391,9 @@ def main() -> int:
                 "seconds": 0.0, "log": "",
                 "finished_at": round(time.time(), 1),
                 "reason": TRAIN_BROKEN_IN_REFERENCE[rel],
+                # provenance: xfail rows never execute anywhere
+                "device": "n/a (xfail, never executed)",
+                "device_observed": "n/a", "lane": lane, "host": host,
             })
             write_report(results)
             continue
@@ -434,11 +448,22 @@ def main() -> int:
         status = "ok" if rc == 0 else "FAIL"
         n_ok += status == "ok"
         n_fail += status != "ok"
+        # self-proving device provenance: the axon TPU plugin prints its
+        # "Platform 'axon'" banner into every log that actually opened the
+        # tunnel; a --cpu run never does. Grep the run's own log rather
+        # than trusting the flag we passed.
+        try:
+            log_text = log_path.read_text()
+        except OSError:
+            log_text = ""
+        observed = "tpu" if "Platform 'axon'" in log_text else "cpu"
         results.append({"config": rel, "module": module.rsplit(".", 1)[-1],
                         "stage": stage, "status": status, "rc": rc,
                         "seconds": round(dt, 1), "log": str(log_path),
                         "retried": retried, "error_tail": tail,
-                        "finished_at": round(time.time(), 1)})
+                        "finished_at": round(time.time(), 1),
+                        "device": args.device, "device_observed": observed,
+                        "lane": lane, "host": host})
         print(f"[{n_ok + n_fail}/{len(rows)}] {status:4s} {dt:7.1f}s  {rel}",
               flush=True)
         # incremental: an interrupted sweep resumes from completed configs

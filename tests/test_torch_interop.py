@@ -9,9 +9,23 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-SHIPPED = Path(
-    "/root/reference/MML_Suite/wheights/avmnist/lenet_image/lenet_image_best.pth"
-)
+_WHEIGHTS = Path("/root/reference/MML_Suite/wheights/avmnist")
+SHIPPED = _WHEIGHTS / "lenet_image/lenet_image_best.pth"
+# ALL shipped image artifact families (reference train_multimodal.py:156-204
+# serves every one). The directory names track the EXPERIMENT's audio
+# encoder; the image encoder inside each is the same MNISTImage ConvBlock
+# architecture (30 tensors, net.5: 3136->64) with distinct trained weights.
+# lenet_image is a bare state dict; the rest pickle the full module and
+# exercise torch_interop's stub-module unpickler.
+ALL_SHIPPED = [
+    SHIPPED,
+    _WHEIGHTS / "cnn_image_1/image_encoder_best.pt",
+    _WHEIGHTS / "mlp_image/mlp_image_best.pth",
+    _WHEIGHTS / "textcnn_image/encoder_image_best.pth",
+    _WHEIGHTS / "fc_image/fc_image_best.pth",
+    _WHEIGHTS / "residualae_image/encoder_image_best.pth",
+]
+_IDS = [p.parent.name for p in ALL_SHIPPED]
 
 pytestmark = pytest.mark.skipif(
     not SHIPPED.exists(), reason="reference weights not mounted"
@@ -30,18 +44,18 @@ def build_encoder():
     )
 
 
-def load_into_flax():
+def load_into_flax(path=SHIPPED):
     from mmtpu.checkpoints.torch_interop import load_torch_checkpoint
 
     enc = build_encoder()
     v = enc.init(
         {"params": jax.random.PRNGKey(0)}, jnp.zeros((2, 28, 28, 1)), train=False
     )
-    params, stats = load_torch_checkpoint(SHIPPED, v["params"], v["batch_stats"])
+    params, stats = load_torch_checkpoint(path, v["params"], v["batch_stats"])
     return enc, params, stats
 
 
-def torch_forward(x_nchw: np.ndarray) -> np.ndarray:
+def torch_forward(x_nchw: np.ndarray, path=SHIPPED) -> np.ndarray:
     """Replay the reference MNISTImage (Sequential net.0..net.5) with
     torch.functional ops directly from the shipped state dict."""
     import torch
@@ -49,7 +63,7 @@ def torch_forward(x_nchw: np.ndarray) -> np.ndarray:
 
     from mmtpu.checkpoints.torch_interop import _load_state_dict
 
-    sd = {k: torch.from_numpy(np.array(v)) for k, v in _load_state_dict(SHIPPED).items()}
+    sd = {k: torch.from_numpy(np.array(v)) for k, v in _load_state_dict(path).items()}
     x = torch.from_numpy(x_nchw)
 
     def conv_bn(x, conv, bn):
@@ -71,11 +85,12 @@ def torch_forward(x_nchw: np.ndarray) -> np.ndarray:
     return x.numpy()
 
 
-def test_weight_mapping_byte_exact():
+@pytest.mark.parametrize("shipped", ALL_SHIPPED, ids=_IDS)
+def test_weight_mapping_byte_exact(shipped):
     from mmtpu.checkpoints.torch_interop import _load_state_dict
 
-    _, params, stats = load_into_flax()
-    sd = _load_state_dict(SHIPPED)
+    _, params, stats = load_into_flax(shipped)
+    sd = _load_state_dict(shipped)
     np.testing.assert_array_equal(
         np.asarray(params["block_one"]["conv_1"]["kernel"]),
         sd["net.0.conv_one.weight"].transpose(2, 3, 1, 0),
@@ -91,8 +106,9 @@ def test_weight_mapping_byte_exact():
     )
 
 
-def test_forward_parity_with_torch():
-    enc, params, stats = load_into_flax()
+@pytest.mark.parametrize("shipped", ALL_SHIPPED, ids=_IDS)
+def test_forward_parity_with_torch(shipped):
+    enc, params, stats = load_into_flax(shipped)
     rng = np.random.default_rng(0)
     x = rng.normal(size=(4, 28, 28)).astype(np.float32)
 
@@ -100,8 +116,24 @@ def test_forward_parity_with_torch():
         {"params": params, "batch_stats": stats}, jnp.asarray(x[..., None]),
         train=False,
     )
-    theirs = torch_forward(x[:, None, :, :])
+    theirs = torch_forward(x[:, None, :, :], shipped)
     np.testing.assert_allclose(np.asarray(ours), theirs, rtol=2e-4, atol=2e-4)
+
+
+def test_shipped_artifacts_are_distinct():
+    """The six families carry DISTINCT trained weights (same architecture)
+    — guards against the mapping silently reading the wrong file."""
+    from mmtpu.checkpoints.torch_interop import _load_state_dict
+
+    firsts = [
+        np.asarray(_load_state_dict(p)["net.5.weight"]) for p in ALL_SHIPPED
+    ]
+    for i in range(len(firsts)):
+        for j in range(i + 1, len(firsts)):
+            assert not np.array_equal(firsts[i], firsts[j]), (
+                f"{ALL_SHIPPED[i]} and {ALL_SHIPPED[j]} have identical "
+                "net.5 weights"
+            )
 
 
 class TestFusedLSTMInterop:
