@@ -57,9 +57,14 @@ def suppress_benign_aot_warnings():
     os.dup2(write_fd, 2)
     os.close(write_fd)
 
-    # Python writes bypass the pipe
+    # Python writes bypass the pipe. Keep our OWN reference to the file
+    # object we install: code inside the block may rebind sys.stderr
+    # (pytest capture, logging reconfig), and the cleanup must close THIS
+    # object — closing whatever sys.stderr happens to be at exit would
+    # close a foreign stream and leak our dup of the real fd.
     orig_stderr = sys.stderr
-    sys.stderr = os.fdopen(os.dup(real_fd), "w", buffering=1)
+    our_stderr = os.fdopen(os.dup(real_fd), "w", buffering=1)
+    sys.stderr = our_stderr
 
     def pump():
         buf = b""
@@ -91,8 +96,9 @@ def suppress_benign_aot_warnings():
         # restore fd 2, closing the pipe's write end so the pump drains out
         os.dup2(real_fd, 2)
         t.join(timeout=10)
-        sys.stderr.close()
-        sys.stderr = orig_stderr
+        our_stderr.close()
+        if sys.stderr is our_stderr:  # leave any in-block rebinding alone
+            sys.stderr = orig_stderr
         if t.is_alive():
             # A child that inherited the pipe's write end keeps the pump
             # blocked past the timeout. Closing real_fd now would race the

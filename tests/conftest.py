@@ -64,19 +64,35 @@ def _unpack_prewarmed_cache() -> None:
         return  # non-canonical dir: tarball entries would never hit
     if os.listdir(_CACHE):  # already warm — nothing to do
         return
-    for tb in glob.glob(
+    matching = glob.glob(
         os.path.join(root, "tools", "xla_prewarm", f"*.{key}.tar.xz")
-    ):
-        target = os.path.dirname(os.path.normpath(_CACHE))
-        with tarfile.open(tb, "r:xz") as tf:
-            tf.extractall(target, filter="data")
-        break
+    )
+    if not matching:
+        # degrade LOUDLY: a silent miss costs the full cold-compile bill
+        # (~14 min on a 1-core host) with no explanation
+        others = glob.glob(os.path.join(root, "tools", "xla_prewarm",
+                                        "*.tar.xz"))
+        if others:
+            print(
+                f"[conftest] prewarm tarball fingerprint mismatch: host key "
+                f"{key}, available {[os.path.basename(o) for o in others]} "
+                f"— cold XLA compiles will be paid this run",
+                file=_sys.stderr,
+            )
+        return
+    target = os.path.dirname(os.path.normpath(_CACHE))
+    with tarfile.open(matching[0], "r:xz") as tf:
+        tf.extractall(target, filter="data")
 
 
 try:
     _unpack_prewarmed_cache()
-except Exception:
-    pass  # a corrupt/unreadable tarball must never break the suite
+except Exception as _e:
+    # a corrupt/unreadable tarball must never break the suite — but say so
+    # (e.g. Pythons without tarfile's filter= raise TypeError and the
+    # committed tarball would otherwise be silently inert)
+    print(f"[conftest] prewarm cache unpack skipped: {_e!r}",
+          file=_sys.stderr)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 
