@@ -388,6 +388,18 @@ def measure(builder, B, precision, windows=8, steps=60, warmup=10,
             w_mixed = disp_window(disp_m, 2 * rep + 1)
             pair_times.append((w_plain, w_mixed))
         disp = displacement_estimate(pair_times, disp_m, S, B, flops)
+        if disp is not None and disp_pairs >= 2:
+            # built-in falsification: one extra pair at DOUBLE the injected
+            # count must produce the same share (the estimator's validated
+            # m-invariance, scripts/contention_study2.py) — emitted as
+            # displacement_share_m2x for the reader to check
+            w_plain = disp_window(0, 900)
+            w_mixed = disp_window(2 * disp_m, 901)
+            check = displacement_estimate(
+                [(w_plain, w_mixed)], 2 * disp_m, S, B, flops)
+            disp["share_m2x"] = (
+                check["share_median"] if check is not None else None
+            )
 
     origin = quiet_rate_fit(rates, canaries, flops, B)
     fit = disp if disp is not None else {**origin, "model": "origin"}
@@ -749,6 +761,12 @@ def main() -> None:
                     "displacement_shares": [
                         round(s, 4) for s in m["disp"]["shares"]
                     ],
+                    # m-invariance self-check: one pair at 2x the injected
+                    # matmul count must agree with displacement_share
+                    "displacement_share_m2x": (
+                        round(m["disp"]["share_m2x"], 4)
+                        if m["disp"].get("share_m2x") is not None else None
+                    ),
                     "displacement_m": m["disp"]["m"],
                     "displacement_window_pairs_s": m["disp"]["pairs"],
                     "displacement_quiet_rates": [
