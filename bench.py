@@ -616,7 +616,10 @@ def convergence_epochs(B=1024, max_epochs=15, pretrain_epochs=4,
         step, make_state(model, pre_vars), arrays, labels, rng, B,
         max_epochs=max_epochs)
     return {
-        "convergence_data": "avmnist_generated",
+        # the INDEX is generated (make_avmnist_index.py); the tensors it
+        # points at are the real shipped AVMNIST assets under
+        # /root/reference/MML_Suite/AVMNIST/dataset
+        "convergence_data": "avmnist_shipped_tensors",
         "epochs_to_99_scratch": scratch,
         "epochs_to_99_pretrained": pretrained,
         # BASELINE.md row 3 (first-epoch loss, pretrained vs scratch:

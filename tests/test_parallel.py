@@ -236,3 +236,20 @@ def test_multihost_mesh_parity():
 
     msg = multihost_dryrun.run(timeout=540.0)
     assert msg.startswith("dryrun_multihost OK")
+
+
+def test_put_global_single_process_matches_device_put():
+    """put_global's single-process path is plain device_put; sharding and
+    values must be identical (the multi-process path is exercised by
+    test_multihost_mesh_parity's workers)."""
+    from mmtpu.parallel.mesh import (
+        MeshConfig, batch_sharding, create_mesh, put_global)
+
+    mesh = create_mesh(MeshConfig(data_parallel=8, model_parallel=1),
+                       devices=jax.devices()[:8])
+    x = np.arange(32, dtype=np.float32).reshape(16, 2)
+    sh = batch_sharding(mesh, ndim=2)
+    a = put_global(x, sh)
+    b = jax.device_put(x, sh)
+    assert a.sharding == b.sharding
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
