@@ -75,8 +75,12 @@ class DeviceResidentData(struct.PyTreeNode):
         all-to-all on sample indices). Per-sample sequence lengths ride
         along so scan batches carry the same {mod}_lengths keys as the
         streaming loader's."""
-        put = (lambda a: jax.device_put(a, _replicated(mesh))) if mesh \
-            else jax.device_put
+        # put_global, not raw device_put: on a multi-process mesh the
+        # replicated sharding spans devices this process cannot address
+        from mmtpu.parallel.mesh import put_global
+
+        put = (lambda a: put_global(np.asarray(a), _replicated(mesh))) \
+            if mesh else jax.device_put
         needed = _needed_modalities(dataset)
         return cls(
             arrays={str(m): put(dataset.arrays[m]) for m in needed},
@@ -99,8 +103,10 @@ def _replicated(mesh):
 def replicate_tree(tree, mesh):
     """Replicate every leaf over the mesh (params/batch_stats for the
     sharded scan path)."""
+    from mmtpu.parallel.mesh import put_global
+
     sharding = _replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree_util.tree_map(lambda x: put_global(x, sharding), tree)
 
 
 def put_schedule(schedule: Dict[str, np.ndarray], mesh=None):
@@ -114,10 +120,12 @@ def put_schedule(schedule: Dict[str, np.ndarray], mesh=None):
 
     from mmtpu.parallel.mesh import DATA_AXIS
 
+    from mmtpu.parallel.mesh import put_global
+
     def _put(x):
         x = np.asarray(x)
         spec = P(None, DATA_AXIS, *([None] * (x.ndim - 2)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return put_global(x, NamedSharding(mesh, spec))
 
     return {k: _put(v) for k, v in schedule.items()}
 

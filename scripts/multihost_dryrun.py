@@ -35,10 +35,10 @@ def _free_port() -> int:
 def _parse(line_blob: str):
     m = re.search(
         r"MULTIHOST pid=0 procs=\d+ loss=([\d.eE+-]+) "
-        r"repl_checksum=([\d.eE+-]+)", line_blob)
+        r"repl_checksum=([\d.eE+-]+) scan_loss=([\d.eE+-]+)", line_blob)
     if not m:
         raise RuntimeError(f"worker output unparsable:\n{line_blob[-2000:]}")
-    return float(m.group(1)), float(m.group(2))
+    return float(m.group(1)), float(m.group(2)), float(m.group(3))
 
 
 def run(timeout: float = 600.0) -> str:
@@ -56,7 +56,7 @@ def run(timeout: float = 600.0) -> str:
     )
     if base.returncode != 0:
         raise RuntimeError(f"baseline worker failed:\n{base.stderr[-2000:]}")
-    loss_1p, ck_1p = _parse(base.stdout)
+    loss_1p, ck_1p, scan_1p = _parse(base.stdout)
 
     # -- 2 processes x 4 devices over a distributed service -------------
     port = _free_port()
@@ -83,7 +83,7 @@ def run(timeout: float = 600.0) -> str:
         if rc != 0:
             raise RuntimeError(f"multihost worker failed (rc={rc}):\n"
                                f"{err[-2000:]}")
-    loss_2p, ck_2p = _parse(outs[0][1])
+    loss_2p, ck_2p, scan_2p = _parse(outs[0][1])
 
     rtol = 2e-5
     if abs(loss_2p - loss_1p) > rtol * max(1.0, abs(loss_1p)):
@@ -93,9 +93,14 @@ def run(timeout: float = 600.0) -> str:
         raise AssertionError(
             f"multihost replicated-param checksum {ck_2p!r} != "
             f"single-process {ck_1p!r}")
+    if abs(scan_2p - scan_1p) > rtol * max(1.0, abs(scan_1p)):
+        raise AssertionError(
+            f"multihost scan-epoch loss {scan_2p!r} != "
+            f"single-process {scan_1p!r}")
     msg = (f"dryrun_multihost OK: 2 procs x 4 devices == 1 proc x 8 devices "
            f"(loss {loss_2p:.6f} vs {loss_1p:.6f}, repl-param checksum "
-           f"{ck_2p:.4f} vs {ck_1p:.4f}, rtol {rtol})")
+           f"{ck_2p:.4f} vs {ck_1p:.4f}, scan-epoch loss {scan_2p:.6f} vs "
+           f"{scan_1p:.6f}, rtol {rtol})")
     return msg
 
 

@@ -116,8 +116,73 @@ def main() -> None:
     for path, leaf in jax.tree_util.tree_leaves_with_path(new_state.params):
         if param_spec(path, leaf) == P():
             total += float(np.abs(np.asarray(leaf.addressable_data(0))).sum())
+
+    # -- device-resident scan epoch on the same global mesh ---------------
+    # (the path __graft_entry__._scan_on_mesh_check proves single-process;
+    # here it must survive multi-process placement: DeviceResidentData /
+    # replicate_tree / put_schedule all route through mesh.put_global)
+    scan_loss = _scan_epoch_loss(n_global)
+
     print(f"MULTIHOST pid={args.process_id} procs={args.num_processes} "
-          f"loss={loss!r} repl_checksum={total!r}", flush=True)
+          f"loss={loss!r} repl_checksum={total!r} scan_loss={scan_loss!r}",
+          flush=True)
+
+
+def _scan_epoch_loss(n_global: int) -> float:
+    """One device-resident scan train epoch over a pure-DP global mesh;
+    returns the first scan-step loss (deterministic given the fixed
+    seeds, so the launcher can compare 1-process vs 2-process runs)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mmtpu.config.optim import OptimizerConfig
+    from mmtpu.data.avmnist import SyntheticAVMNIST
+    from mmtpu.models import build_module
+    from mmtpu.parallel.mesh import MeshConfig, create_mesh
+    from mmtpu.train import device_loop as dl
+    from mmtpu.train.losses import LossFunctionGroup
+    from mmtpu.train.optim import build_optimizer
+    from mmtpu.train.state import TrainState
+    from mmtpu.train.step import ClassificationTask
+
+    mesh = create_mesh(MeshConfig(data_parallel=n_global, model_parallel=1))
+    ds = SyntheticAVMNIST(split="train", num_samples=8 * n_global,
+                          selected_patterns=["ai"], seed=0)
+    model = build_module(
+        "avmnist",
+        audio_encoder=build_module("fcencoder", input_dim=3008, layers=[16],
+                                   dropout=0.0),
+        image_encoder=build_module("fcencoder", input_dim=784, layers=[16],
+                                   dropout=0.0),
+        hidden_dim=16, dropout=0.0, fusion_fn="concat",
+    )
+    rng = jax.random.PRNGKey(0)
+    v = jax.device_get(model.init(
+        {"params": rng}, jnp.zeros((2, 32, 94, 1)), jnp.zeros((2, 28, 28, 1)),
+        train=False))
+    task = ClassificationTask(
+        model=model,
+        loss_group=LossFunctionGroup.from_dict(
+            {"ce": {"loss_name": "cross_entropy", "weight": 1.0}}
+        ),
+        input_keys=("audio", "image"),
+    )
+    tx, _ = build_optimizer(
+        OptimizerConfig(name="Adam", default_kwargs={"lr": 1e-3}),
+        v["params"])
+    state = TrainState.create(
+        apply_fn=model.apply, params=dl.replicate_tree(v["params"], mesh),
+        batch_stats=dl.replicate_tree(v.get("batch_stats", {}), mesh),
+        tx=tx,
+    )
+    data = dl.DeviceResidentData.upload(ds, mesh=mesh)
+    fn = dl.make_scan_train_epoch(task, data, mesh=mesh)
+    schedule = dl.put_schedule(
+        dl.build_schedule(ds, 2 * n_global, 0, False, 0, "train"), mesh)
+    _, outs = fn(state, schedule, rng)
+    losses = np.asarray(outs["loss"].addressable_data(0)).ravel()
+    return float(losses[0])
 
 
 if __name__ == "__main__":
