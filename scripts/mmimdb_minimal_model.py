@@ -14,19 +14,26 @@ real mmtpu modules (MMIMDbModalityEncoder BN->Dense, GatedBiModalNetwork,
 MLPGenreClassifier with MaxOut), the real optimizer parity path (Adam
 lr 1e-5 wd 1e-3 via mmtpu.train.optim), BCE-with-logits, train pattern
 "it" only, eval F1_samples on IT / I(text zeroed) / T(image zeroed) —
-at small fixed shapes so one compile serves every generator-knob cell:
+at small fixed shapes so one compile serves every generator-knob cell.
+The generator mirrors scripts/make_synthetic_mmimdb.py (sparse Zipf
+genres, label-corruption channels); knobs:
 
-  img_gain     image channel SNR (stand-alone image ceiling)
+  img_scale    image channel SNR (aggregate-matched to the full-size 0.04)
   img_nonneg   VGG-like ReLU features (nonneg, positive mean) vs Gaussian
                — changes what the encoder sees for a ZEROED image at
                pattern-T eval (BN running stats make f_img(0) a large
                negative constant for nonneg features)
-  text_noise   text channel noise
-  text_cond    condition number of an entangling text rotation
-  img_latents  how many label latents the image channel can see (ceiling)
+  txt_scale    text channel SNR
+  img_drop/img_spur/txt_drop/txt_spur   per-modality label corruption
 
-Shapes: image 256, text 64, hidden 96, 8 labels, 4096 train / 2048 test,
-B=128 — all constant across cells.
+Shapes: image 256, text 64, hidden 96, 23 genres, 15488 train / 2048
+test, B=128 (121 steps/epoch — the real pipeline's optimization
+progress at lr 1e-5) — all constant across cells.
+
+Round-5 outcome (tracked in mmimdb_minimal_model_r5.json): the r4mirror
+cell reproduces the full-pipeline reversal signature; img_nonneg flips
+pattern T to the published direction (+0.054 vs published +0.052) with
+the IT delta intact — the fix now shipped in make_synthetic_mmimdb.py.
 
 Usage: timeout 3600 python scripts/mmimdb_minimal_model.py [--cells NAME,NAME]
 Writes experiments_output/mmimdb_minimal_model.json
