@@ -244,7 +244,8 @@ CANARY_N = 8192
 T_MM_DEV_S = 2 * CANARY_N**3 / (QUIET_CANARY_TFLOPS * 1e12)  # ~5.94 ms
 
 
-def displacement_estimate(pairs, m, steps, B, flops, t_mm=T_MM_DEV_S):
+def displacement_estimate(pairs, m, steps, B, flops, t_mm=T_MM_DEV_S,
+                          n_chips=1, floor=None):
     """Quiet-chip rate from plain/mixed window pairs (pure host math).
 
     Each pair is (w_plain, w_mixed): wall seconds of `steps` train steps,
@@ -258,7 +259,11 @@ def displacement_estimate(pairs, m, steps, B, flops, t_mm=T_MM_DEV_S):
     Validated on the real chip by scripts/contention_study2.py: share
     estimates agree to 0.3% across m in {30, 60, 120}, implied quiet MFU
     ~0.93 (physical). Pairs with w_mixed <= w_plain (co-tenant burst mid-
-    pair) are dropped; returns None if none survive."""
+    pair) are dropped; returns None if none survive. Rates are
+    per-chip (n_chips divides, matching measure()'s window rates).
+    `floor` (the best RAW window rate observed this run) lower-bounds the
+    estimate — "quiet" can never be slower than a rate actually measured
+    under contention."""
     shares, quiet_rates = [], []
     for w_plain, w_mixed in pairs:
         if w_mixed <= w_plain:
@@ -267,10 +272,12 @@ def displacement_estimate(pairs, m, steps, B, flops, t_mm=T_MM_DEV_S):
         if not 0.0 < share <= 1.0:
             continue
         shares.append(share)
-        quiet_rates.append(steps * B / (w_plain * share))
+        quiet_rates.append(steps * B / (w_plain * share) / n_chips)
     if not quiet_rates:
         return None
     quiet = statistics.median(quiet_rates)
+    if floor is not None:
+        quiet = max(quiet, floor)
     uncapped = quiet
     capped = False
     if flops:
@@ -376,8 +383,17 @@ def measure(builder, B, precision, windows=8, steps=60, warmup=10,
                 while k + 1 >= nxt:
                     outs.append(f_mm(a_mm))
                     nxt += every
+            # completion: wait on EVERY injected matmul, then fetch the
+            # last one. Fetching only the last is NOT enough — measured
+            # live (round 5): with float(outs[-1]) alone the mixed window
+            # closed ~1 s early while the same-moment study script (per-
+            # output waits) still measured share 0.21, i.e. the tunnel
+            # completes the last-dispatched program out of FIFO order
+            # while earlier injected matmuls are still in flight.
             for x in outs:
                 jax.block_until_ready(x)
+            if outs:
+                float(outs[-1])
             barrier(nonlocal_state[0])
             return time.perf_counter() - t0
 
@@ -387,7 +403,8 @@ def measure(builder, B, precision, windows=8, steps=60, warmup=10,
             w_plain = disp_window(0, 2 * rep)
             w_mixed = disp_window(disp_m, 2 * rep + 1)
             pair_times.append((w_plain, w_mixed))
-        disp = displacement_estimate(pair_times, disp_m, S, B, flops)
+        disp = displacement_estimate(pair_times, disp_m, S, B, flops,
+                                     n_chips=n_chips, floor=max(rates))
         if disp is not None and disp_pairs >= 2:
             # built-in falsification: one extra pair at DOUBLE the injected
             # count must produce the same share (the estimator's validated
@@ -396,7 +413,8 @@ def measure(builder, B, precision, windows=8, steps=60, warmup=10,
             w_plain = disp_window(0, 900)
             w_mixed = disp_window(2 * disp_m, 901)
             check = displacement_estimate(
-                [(w_plain, w_mixed)], 2 * disp_m, S, B, flops)
+                [(w_plain, w_mixed)], 2 * disp_m, S, B, flops,
+                n_chips=n_chips)
             disp["share_m2x"] = (
                 check["share_median"] if check is not None else None
             )

@@ -85,9 +85,12 @@ def put_global(x: Any, sharding: NamedSharding) -> jax.Array:
     process computes the same global batch and keeps its slice; no
     cross-host data exchange happens here).
     """
-    x = np.asarray(x)
     if jax.process_count() == 1:
+        # device_put reshards device-to-device; materializing through
+        # np.asarray here would drag every leaf host-side (over the axon
+        # tunnel, for params + optimizer moments) for no reason
         return jax.device_put(x, sharding)
+    x = np.asarray(x)
     return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
 
 

@@ -186,22 +186,32 @@ def _ensure_source_data() -> None:
     Completeness is tracked by a `.generated.<name>` marker written only
     AFTER the generator exits 0 — the generators write their multi-file
     outputs non-atomically, so probing a data file alone would let an
-    interrupted first provisioning pass forever. Pre-marker datasets
-    (round-3 provisioning, consumed successfully by whole lanes) are
-    grandfathered: probe present + no marker → write the marker once.
+    interrupted first provisioning pass forever. The marker records the
+    GENERATOR SCRIPT's content hash: when the generator changes (e.g. the
+    round-5 ReLU image-feature fix in make_synthetic_mmimdb.py), stale
+    data is regenerated instead of silently kept — a content-blind marker
+    would pin every previously-provisioned host to pre-fix data.
     """
+    import hashlib
+
     for name, (probe, script) in GENERATORS.items():
         marker = REPO / "DATA" / name / f".generated.{name}"
+        gen_hash = hashlib.sha256(
+            (REPO / "scripts" / script).read_bytes()).hexdigest()[:16]
+        want = f"generator:{gen_hash}\n"
+        if marker.exists() and marker.read_text() == want:
+            continue
         if marker.exists():
-            continue
-        if (REPO / "DATA" / name / probe).exists():
-            marker.write_text("grandfathered: pre-marker provisioning\n")
-            continue
-        print(f"source data missing for {name}; running {script}", flush=True)
+            print(f"{name}: generator changed since provisioning "
+                  f"(marker {marker.read_text().strip()!r} != "
+                  f"generator:{gen_hash}); regenerating", flush=True)
+        else:
+            print(f"source data missing for {name}; running {script}",
+                  flush=True)
         subprocess.run([sys.executable, str(REPO / "scripts" / script)],
                        check=True, cwd=REPO)
         marker.parent.mkdir(parents=True, exist_ok=True)
-        marker.write_text("ok\n")
+        marker.write_text(want)
 
 
 def _stage_workspace_data(ws: Path, avmnist_rows: int) -> None:
@@ -450,8 +460,11 @@ def main() -> int:
         n_fail += status != "ok"
         # self-proving device provenance: the axon TPU plugin prints its
         # "Platform 'axon'" banner into every log that actually opened the
-        # tunnel; a --cpu run never does. Grep the run's own log rather
-        # than trusting the flag we passed.
+        # tunnel; a --cpu run never does. `device` IS the observed value —
+        # the requested flag is recorded separately, and a mismatch (e.g.
+        # the plugin failing to load and jax falling back to CPU under a
+        # --device tpu lane) is flagged rather than laundered into TPU
+        # provenance.
         try:
             log_text = log_path.read_text()
         except OSError:
@@ -462,8 +475,13 @@ def main() -> int:
                         "seconds": round(dt, 1), "log": str(log_path),
                         "retried": retried, "error_tail": tail,
                         "finished_at": round(time.time(), 1),
-                        "device": args.device, "device_observed": observed,
+                        "device": observed, "device_observed": observed,
+                        "device_requested": args.device,
+                        "device_mismatch": observed != args.device,
                         "lane": lane, "host": host})
+        if observed != args.device:
+            print(f"        WARNING: requested --device {args.device} but "
+                  f"the log shows {observed}: {rel}", flush=True)
         print(f"[{n_ok + n_fail}/{len(rows)}] {status:4s} {dt:7.1f}s  {rel}",
               flush=True)
         # incremental: an interrupted sweep resumes from completed configs

@@ -158,8 +158,11 @@ def _tx(params):
 
 
 def train_scan(model, variables, xs, y, epochs, seed=0):
-    """Whole training run as ONE lax.scan over steps (fixed shapes ->
-    compiled once per architecture across all cells)."""
+    """Whole training run as ONE lax.scan over steps. The jit closure is
+    re-TRACED per call (data are baked in as constants), but shapes are
+    identical across cells, so the persistent XLA compile cache turns
+    repeat compiles of the same architecture into loads — measured
+    40-150 s per 5-training cell on the TPU."""
     import jax
     import jax.numpy as jnp
     import optax

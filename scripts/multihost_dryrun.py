@@ -45,8 +45,14 @@ def run(timeout: float = 600.0) -> str:
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)  # workers self-provision device counts
-    env.setdefault("JAX_COMPILATION_CACHE_DIR",
-                   os.path.join(ROOT, ".cache", "jax"))
+    if "JAX_COMPILATION_CACHE_DIR" not in env:
+        # host-keyed, like conftest.py: XLA:CPU AOT entries embed LLVM
+        # target features — an unkeyed shared dir risks loading a foreign
+        # host's entries (SIGILL; see mmtpu/utils/compile_cache.py)
+        sys.path.insert(0, ROOT)
+        from mmtpu.utils.compile_cache import host_cache_dir
+
+        env["JAX_COMPILATION_CACHE_DIR"] = host_cache_dir(ROOT)
 
     # -- single-process baseline: 1 x 8 devices -------------------------
     base = subprocess.run(

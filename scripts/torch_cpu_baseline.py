@@ -145,10 +145,12 @@ class MonoHead(nn.Module):
 
 
 def _torch_epochs_to_99(model, a, i, y, B, max_epochs, lr=5e-4, wd=1e-4,
-                        mono=None):
+                        mono=None, acc_target=0.99):
     """Train with the reference regime (Adam 5e-4/wd 1e-4, shuffled epochs,
     during-epoch train accuracy — train_multimodal.py:438-496) and return
-    (first epoch reaching 99% train acc or None, first-epoch mean loss)."""
+    (first epoch reaching `acc_target` train acc or None, first-epoch mean
+    loss). acc_target=None runs every epoch (mono pretraining's fixed
+    budget, matching bench._run_epochs with acc_target=None)."""
     import numpy as np
 
     opt = torch.optim.Adam(model.parameters(), lr=lr, weight_decay=wd)
@@ -176,13 +178,13 @@ def _torch_epochs_to_99(model, a, i, y, B, max_epochs, lr=5e-4, wd=1e-4,
             ep1 = loss_sum / steps
         acc = correct / (steps * B)
         print(f"  epoch {epoch}: train_acc={acc:.4f}", flush=True)
-        if acc >= 0.99:
+        if acc_target is not None and reached is None and acc >= acc_target:
             reached = epoch
             break
     return reached, ep1
 
 
-def main_convergence(n_samples: int, max_epochs: int = 12) -> None:
+def main_convergence(n_samples: int, max_epochs: int = 15) -> None:
     """Controlled ablation for the epochs-to-99 gap (ROUND5): train the
     reference-equivalent torch model on the SAME mmtpu-decoded AVMNIST
     subset bench.py's convergence section uses, so any epochs-to-99
@@ -228,7 +230,10 @@ def main_convergence(n_samples: int, max_epochs: int = 12) -> None:
     for mod, enc, hidden in (("audio", model.audio, 64),
                              ("image", model.image, 128)):
         print(f"mono pretrain {mod}:", flush=True)
-        _torch_epochs_to_99(MonoHead(enc, hidden), a, i, y, B, 4, mono=mod)
+        # fixed 4-epoch budget, no early exit — exactly bench.py's
+        # convergence_epochs pretrain (_run_epochs acc_target=None)
+        _torch_epochs_to_99(MonoHead(enc, hidden), a, i, y, B, 4, mono=mod,
+                            acc_target=None)
     print("pretrained arm:", flush=True)
     out["epochs_to_99_pretrained"], out["first_epoch_loss_pretrained"] = (
         _torch_epochs_to_99(model, a, i, y, B, max_epochs))

@@ -109,6 +109,33 @@ def test_displacement_drops_degenerate_pairs():
     assert out["share_median"] == pytest.approx(share, rel=1e-9)
 
 
+def test_displacement_never_below_best_observed_window():
+    # co-tenant busy during the plain calibration windows but quiet during
+    # the natural windows: the estimate must not come out below a rate
+    # actually measured this run
+    S, B, m = 60, 1024, 60
+    share, t_step = 0.9, 0.01  # slow plain window, near-full share
+    w_plain = S * t_step / share
+    w_mixed = w_plain + m * bench.T_MM_DEV_S / share
+    best_raw = 2 * B / t_step  # raw window measured far faster
+    out = bench.displacement_estimate(
+        [(w_plain, w_mixed)], m, S, B, flops=None, floor=best_raw)
+    assert out["normalized"] == best_raw
+
+
+def test_displacement_divides_by_n_chips():
+    # measure()'s window rates are per-chip; the displacement estimate
+    # must be in the same units on a multi-device host
+    S, B, m = 60, 1024, 60
+    share, t_step = 0.25, 0.004
+    w_plain = S * t_step / share
+    w_mixed = w_plain + m * bench.T_MM_DEV_S / share
+    one = bench.displacement_estimate([(w_plain, w_mixed)], m, S, B, None)
+    four = bench.displacement_estimate([(w_plain, w_mixed)], m, S, B, None,
+                                       n_chips=4)
+    assert four["normalized"] == pytest.approx(one["normalized"] / 4)
+
+
 def test_displacement_respects_mfu_cap():
     flops, B, S, m = 1e9, 1024, 60, 60
     cap = bench.V5E_PEAK_FLOPS * B / flops
