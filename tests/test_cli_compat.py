@@ -399,8 +399,11 @@ def test_corpus_smoke_pickle_truncation(tmp_path, monkeypatch):
 
 def test_corpus_smoke_ensures_source_data(tmp_path, monkeypatch):
     """On a fresh host the synthetic source datasets are absent (gitignored);
-    _ensure_source_data runs exactly the generators whose probe file is
-    missing, and every mapped generator script actually exists."""
+    _ensure_source_data runs every generator whose marker doesn't prove
+    provenance against the CURRENT generator script, and every mapped
+    generator script actually exists. Markers record the generator's
+    content hash, so a changed generator (the round-5 ReLU image fix)
+    regenerates stale data instead of silently keeping it."""
     sys.path.insert(0, str(REPO / "scripts"))
     try:
         import corpus_smoke as cs
@@ -412,7 +415,11 @@ def test_corpus_smoke_ensures_source_data(tmp_path, monkeypatch):
 
     fake_repo = tmp_path / "repo"
     (fake_repo / "scripts").mkdir(parents=True)
-    # mosi present, the rest missing
+    for _, script in cs.GENERATORS.values():
+        (fake_repo / "scripts" / script).write_text(f"# gen {script}\n")
+    # mosi data present but WITHOUT a marker: provenance unknown -> it is
+    # regenerated too (pre-hash grandfathering is unsound once markers
+    # carry generator hashes)
     (fake_repo / "DATA" / "mosi").mkdir(parents=True)
     (fake_repo / "DATA" / "mosi" / "unaligned_50.pkl").write_bytes(b"x")
     monkeypatch.setattr(cs, "REPO", fake_repo)
@@ -421,18 +428,21 @@ def test_corpus_smoke_ensures_source_data(tmp_path, monkeypatch):
     monkeypatch.setattr(cs.subprocess, "run",
                         lambda cmd, **kw: ran.append(Path(cmd[-1]).name))
     cs._ensure_source_data()
-    assert "make_synthetic_mosi.py" not in ran
-    expected = {script for name, (probe, script) in cs.GENERATORS.items()
-                if not (fake_repo / "DATA" / name / probe).exists()}
+    expected = {script for _, script in cs.GENERATORS.values()}
     assert set(ran) == expected
-    # completion markers: written for every generated dataset (only after
-    # the generator exits 0) and grandfathered for the pre-existing probe
+    # completion markers: written (only after the generator exits 0) with
+    # the generator's content hash
     for name in cs.GENERATORS:
-        assert (fake_repo / "DATA" / name / f".generated.{name}").exists()
-    assert "grandfathered" in (
-        fake_repo / "DATA" / "mosi" / ".generated.mosi"
-    ).read_text()
-    # marker present -> a rerun runs nothing, even with the probe gone
+        marker = fake_repo / "DATA" / name / f".generated.{name}"
+        assert marker.exists()
+        assert marker.read_text().startswith("generator:")
+    # markers match the current generators -> a rerun runs nothing
     ran.clear()
     cs._ensure_source_data()
     assert ran == []
+    # a CHANGED generator invalidates only its own marker
+    name, (_, script) = next(iter(cs.GENERATORS.items()))
+    (fake_repo / "scripts" / script).write_text("# changed generator\n")
+    ran.clear()
+    cs._ensure_source_data()
+    assert ran == [script]
